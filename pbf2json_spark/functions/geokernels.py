@@ -1,0 +1,310 @@
+"""Pure-numpy geometry kernels (no Spark imports).
+
+These reproduce, bit-for-bit where the reference's golden tests pin it, the
+geometry semantics of pelias/pbf2json and its go.geo dependency:
+
+- spherical "GeoCentroid" = mean of 3D unit vectors, projected back
+  (used by /root/reference/poly_centroid.go:17);
+- polygon vertex simplification by bearing delta with wrap-around
+  neighbours (/root/reference/poly_centroid.go:22-62, threshold 1e-2);
+- linestring centroid = point at half the *planar* (lon/lat-euclidean)
+  path length, linearly interpolated within the containing segment
+  (/root/reference/line_centroid.go:11-28);
+- bbox = plain min/max over lat/lon (go.geo PointSet.Bound, used at
+  /root/reference/pbf2json.go:709,732);
+- bbox "area" for the relation argmax = max(GeoWidth,1e-6) *
+  max(GeoHeight,1e-6) (/root/reference/pbf2json.go:339) where GeoWidth is
+  the go.geo equirectangular distance across the bound's centre latitude
+  and GeoHeight is 111131.75 m/deg;
+- 6-byte coordinate truncation (zero the two low mantissa bytes of the
+  IEEE-754 representation, /root/reference/pbf2json.go:528-539) and
+  7-decimal formatting (/root/reference/pbf2json.go:435-438,506,512);
+- entrance-priority centroid selection (/root/reference/pbf2json.go:658-710)
+  with the flag classifiers (/root/reference/pbf2json.go:467-495).
+
+All kernels are vectorized numpy; they are invoked from Arrow-batched
+pandas UDFs only (never per-row Python in the hot path).
+
+Golden parity: every constant and branch here is validated by
+tests/test_geokernels.py against the values in
+/root/reference/{centroid,line_centroid,poly_centroid,encoding}_test.go.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# go.geo EarthRadius (paulmach/go.geo point.go) — used by GeoDistanceFrom.
+EARTH_RADIUS_M = 6378137.0
+# go.geo Bound.GeoHeight conversion factor (meters per degree of latitude).
+GEO_HEIGHT_M_PER_DEG = 111131.75
+
+__all__ = [
+    "EARTH_RADIUS_M",
+    "GEO_HEIGHT_M_PER_DEG",
+    "bearing_deg",
+    "geo_centroid",
+    "simplify_mask",
+    "poly_centroid",
+    "line_centroid",
+    "is_closed_ring",
+    "bbox",
+    "geo_width_m",
+    "geo_height_m",
+    "ref_bbox_area",
+    "truncate_coords",
+    "fmt7",
+    "haversine_m",
+    "equirect_m",
+    "raycast_contains",
+    "entrance_class",
+    "wheelchair_class",
+    "centroid_and_bounds",
+]
+
+
+# ---------------------------------------------------------------------------
+# scalar building blocks (all accept numpy arrays; degrees in/out)
+# ---------------------------------------------------------------------------
+
+def bearing_deg(lat1, lon1, lat2, lon2):
+    """Initial great-circle bearing from (lat1,lon1) to (lat2,lon2), degrees
+    in (-180, 180].  Mirrors go.geo Point.BearingTo (atan2 form)."""
+    lat1 = np.radians(np.asarray(lat1, dtype=np.float64))
+    lat2 = np.radians(np.asarray(lat2, dtype=np.float64))
+    dlon = np.radians(np.asarray(lon2, dtype=np.float64) - np.asarray(lon1, dtype=np.float64))
+    y = np.sin(dlon) * np.cos(lat2)
+    x = np.cos(lat1) * np.sin(lat2) - np.sin(lat1) * np.cos(lat2) * np.cos(dlon)
+    return np.degrees(np.arctan2(y, x))
+
+
+def geo_centroid(lats, lons):
+    """go.geo PointSet.GeoCentroid: mean of 3D unit vectors → (lat, lon).
+
+    Validated to all 16 printed digits against
+    /root/reference/poly_centroid_test.go:42-44."""
+    la = np.radians(np.asarray(lats, dtype=np.float64))
+    lo = np.radians(np.asarray(lons, dtype=np.float64))
+    cx = np.mean(np.cos(la) * np.cos(lo))
+    cy = np.mean(np.cos(la) * np.sin(lo))
+    cz = np.mean(np.sin(la))
+    lon = np.degrees(np.arctan2(cy, cx))
+    lat = np.degrees(np.arctan2(cz, np.hypot(cx, cy)))
+    return float(lat), float(lon)
+
+
+def simplify_mask(lats, lons, threshold=1e-2):
+    """Keep-mask for polygon vertices whose bearing delta exceeds the
+    threshold (/root/reference/poly_centroid.go:22-62).
+
+    Neighbours wrap around the array ends exactly like the reference's
+    modular indexing; the (usually duplicated) first==last vertex pair is
+    evaluated twice, once at each position, as in the reference."""
+    la = np.asarray(lats, dtype=np.float64)
+    lo = np.asarray(lons, dtype=np.float64)
+    prev = np.arange(-1, la.size - 1)  # i-1 with wrap (index -1 = last)
+    nxt = np.arange(1, la.size + 1) % la.size
+    b1 = bearing_deg(la[prev], lo[prev], la, lo)
+    b2 = bearing_deg(la[prev], lo[prev], la[nxt], lo[nxt])
+    return np.abs(b1 - b2) > threshold
+
+
+def poly_centroid(lats, lons, threshold=1e-2):
+    """Closed-ring centroid: bearing-simplify then spherical centroid
+    (/root/reference/poly_centroid.go:11-18)."""
+    keep = simplify_mask(lats, lons, threshold)
+    la = np.asarray(lats, dtype=np.float64)[keep]
+    lo = np.asarray(lons, dtype=np.float64)[keep]
+    if la.size == 0:  # degenerate: all collinear; fall back to full set
+        la, lo = np.asarray(lats, dtype=np.float64), np.asarray(lons, dtype=np.float64)
+    return geo_centroid(la, lo)
+
+
+def line_centroid(lats, lons):
+    """Open-linestring centroid: the point at half the planar path length,
+    interpolated linearly inside the containing segment
+    (/root/reference/line_centroid.go:11-28).  Distances are *euclidean in
+    degree space* (go.geo Line.Distance), matching the golden value in
+    /root/reference/line_centroid_test.go:43-45 exactly."""
+    la = np.asarray(lats, dtype=np.float64)
+    lo = np.asarray(lons, dtype=np.float64)
+    if la.size == 1:
+        return float(la[0]), float(lo[0])
+    seg = np.hypot(np.diff(lo), np.diff(la))
+    half = seg.sum() / 2.0
+    cum = np.concatenate(([0.0], np.cumsum(seg)))
+    # first segment i with cum[i] + seg[i] > half  (strict >, as reference)
+    idx = np.nonzero(cum[:-1] + seg > half)[0]
+    if idx.size == 0:
+        # fell through the loop (can happen when half == total, e.g. all
+        # points identical): reference falls back to GeoCentroid
+        return geo_centroid(la, lo)
+    i = int(idx[0])
+    if seg[i] == 0.0:
+        return geo_centroid(la, lo)
+    f = (half - cum[i]) / seg[i]
+    return float(la[i] + f * (la[i + 1] - la[i])), float(lo[i] + f * (lo[i + 1] - lo[i]))
+
+
+def is_closed_ring(lats, lons):
+    """Reference closed-ring test: >2 points and first == last on both
+    coordinates (/root/reference/pbf2json.go:714-717)."""
+    la = np.asarray(lats, dtype=np.float64)
+    lo = np.asarray(lons, dtype=np.float64)
+    return la.size > 2 and la[0] == la[-1] and lo[0] == lo[-1]
+
+
+def bbox(lats, lons):
+    """(n, s, e, w) = (max lat, min lat, max lon, min lon) — go.geo
+    PointSet.Bound; no antimeridian logic, exactly like the reference."""
+    la = np.asarray(lats, dtype=np.float64)
+    lo = np.asarray(lons, dtype=np.float64)
+    return float(la.max()), float(la.min()), float(lo.max()), float(lo.min())
+
+
+def geo_width_m(n, s, e, w):
+    """go.geo Bound.GeoWidth: equirectangular distance between the bound's
+    west and east edges at its centre latitude."""
+    latc = np.radians((np.asarray(n) + np.asarray(s)) / 2.0)
+    dlon = np.radians(np.asarray(e) - np.asarray(w))
+    return EARTH_RADIUS_M * np.abs(dlon * np.cos(latc))
+
+
+def geo_height_m(n, s):
+    """go.geo Bound.GeoHeight: 111131.75 m per degree of latitude."""
+    return GEO_HEIGHT_M_PER_DEG * (np.asarray(n) - np.asarray(s))
+
+
+def ref_bbox_area(n, s, e, w):
+    """Relation argmax area: max(GeoWidth,1e-6)*max(GeoHeight,1e-6)
+    (/root/reference/pbf2json.go:339)."""
+    return np.maximum(geo_width_m(n, s, e, w), 1e-6) * np.maximum(geo_height_m(n, s), 1e-6)
+
+
+def truncate_coords(arr):
+    """Reproduce the reference's 6-byte float storage: zero the two low
+    bytes of the IEEE-754 bits (/root/reference/pbf2json.go:528-539).
+    Validated against /root/reference/encoding_test.go:27-31."""
+    a = np.ascontiguousarray(np.asarray(arr, dtype=np.float64))
+    bits = a.view(np.uint64) & np.uint64(0xFFFFFFFFFFFF0000)
+    return bits.view(np.float64)
+
+
+def fmt7(x):
+    """Go strconv.FormatFloat(f,'f',7,64) equivalent (round-half-even on
+    the exact binary value — identical to printf %.7f semantics)."""
+    if np.ndim(x) == 0:
+        return "%.7f" % float(x)
+    return np.array(["%.7f" % v for v in np.asarray(x, dtype=np.float64)])
+
+
+def haversine_m(lat1, lon1, lat2, lon2, radius=EARTH_RADIUS_M):
+    """Great-circle distance (haversine, go.geo GeoDistanceFrom haversine
+    branch, R=6378137). Vectorized; used for kNN re-rank."""
+    la1 = np.radians(np.asarray(lat1, dtype=np.float64))
+    la2 = np.radians(np.asarray(lat2, dtype=np.float64))
+    dla = la2 - la1
+    dlo = np.radians(np.asarray(lon2, dtype=np.float64) - np.asarray(lon1, dtype=np.float64))
+    a = np.sin(dla / 2) ** 2 + np.cos(la1) * np.cos(la2) * np.sin(dlo / 2) ** 2
+    return 2.0 * radius * np.arctan2(np.sqrt(a), np.sqrt(np.maximum(1.0 - a, 0.0)))
+
+
+def equirect_m(lat1, lon1, lat2, lon2):
+    """go.geo GeoDistanceFrom default (fast equirectangular pythagoras)."""
+    dla = np.radians(np.asarray(lat2, dtype=np.float64) - np.asarray(lat1, dtype=np.float64))
+    dlo = np.radians(np.asarray(lon2, dtype=np.float64) - np.asarray(lon1, dtype=np.float64))
+    x = dlo * np.cos(np.radians((np.asarray(lat1, dtype=np.float64) + np.asarray(lat2, dtype=np.float64)) / 2.0))
+    return EARTH_RADIUS_M * np.sqrt(dla * dla + x * x)
+
+
+def raycast_contains(ring_lats, ring_lons, pt_lats, pt_lons):
+    """Even-odd ray casting, vectorized over query points.
+
+    ring_{lats,lons}: the polygon ring (closed or open — the closing edge
+    is implied).  pt_{lats,lons}: arrays of query points.  Returns a bool
+    array.  Points exactly on an edge may land either side (standard
+    even-odd behaviour); test fixtures avoid on-edge points."""
+    rla = np.asarray(ring_lats, dtype=np.float64)
+    rlo = np.asarray(ring_lons, dtype=np.float64)
+    if rla.size > 1 and rla[0] == rla[-1] and rlo[0] == rlo[-1]:
+        rla, rlo = rla[:-1], rlo[:-1]
+    px = np.asarray(pt_lons, dtype=np.float64)[:, None]  # (P,1)
+    py = np.asarray(pt_lats, dtype=np.float64)[:, None]
+    x1, y1 = rlo[None, :], rla[None, :]                  # (1,V)
+    x2, y2 = np.roll(rlo, -1)[None, :], np.roll(rla, -1)[None, :]
+    cond = (y1 > py) != (y2 > py)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = x1 + (py - y1) * (x2 - x1) / np.where(y2 == y1, np.inf, y2 - y1)
+    crossings = np.sum(cond & (px < xint), axis=1)
+    return (crossings % 2).astype(bool)
+
+
+# ---------------------------------------------------------------------------
+# entrance / wheelchair classification (reference pbf2json.go:467-495)
+# ---------------------------------------------------------------------------
+
+def entrance_class(value):
+    """tags['entrance'] → 2 (main), 1 (yes/home/staircase), 0 otherwise."""
+    if value is None:
+        return 0
+    v = str(value).lower()
+    if v == "main":
+        return 2
+    if v in ("yes", "home", "staircase"):
+        return 1
+    return 0
+
+
+def wheelchair_class(value):
+    """tags['wheelchair'] → 2 (yes), 0 (no or absent), 1 (anything else)."""
+    if value is None:
+        return 0
+    v = str(value).lower()
+    if v == "yes":
+        return 2
+    if v == "no":
+        return 0
+    return 1
+
+
+# ---------------------------------------------------------------------------
+# the full reference centroid+bounds semantics for one way
+# ---------------------------------------------------------------------------
+
+def centroid_and_bounds(lats, lons, entrance=None, wheelchair=None):
+    """Reference computeCentroidAndBounds (/root/reference/pbf2json.go:689-733)
+    on raw float64 coords (callers apply truncate_coords first when
+    emulating the LevelDB path).
+
+    entrance/wheelchair: optional int arrays (classification codes); a node
+    "has an entrance tag" iff its entrance code is not None in the
+    reference's latlon map — we encode absence as code -1.
+
+    Returns (clat, clon, ctype, n, s, e, w) with floats; ctype is
+    'entrance' when an entrance node supplied the centroid, else ''.
+    """
+    la = np.asarray(lats, dtype=np.float64)
+    lo = np.asarray(lons, dtype=np.float64)
+    n, s, e, w = bbox(la, lo)
+
+    if entrance is not None:
+        ent = np.asarray(entrance)
+        has = ent >= 0  # -1 encodes "no entrance key in the latlon map"
+        if has.any():
+            whl = np.asarray(wheelchair) if wheelchair is not None else np.zeros_like(ent)
+            idxs = np.nonzero(has)[0]
+            # prefer first main entrance (code 2), else first wheelchair!=0,
+            # else first entrance (pbf2json.go:658-686)
+            main = idxs[ent[idxs] == 2]
+            if main.size:
+                i = int(main[0])
+            else:
+                acc = idxs[whl[idxs] != 0]
+                i = int(acc[0]) if acc.size else int(idxs[0])
+            return float(la[i]), float(lo[i]), "entrance", n, s, e, w
+
+    if is_closed_ring(la, lo):
+        clat, clon = poly_centroid(la, lo)
+    else:
+        clat, clon = line_centroid(la, lo)
+    return clat, clon, "", n, s, e, w
