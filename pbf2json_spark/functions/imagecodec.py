@@ -1,0 +1,248 @@
+"""Self-contained numpy image codec for the `images` table payloads.
+
+The environment has no Pillow/OpenCV (SURVEY.md §7), so the engine defines
+its own three formats for the `fmt` column of the hinted input shape
+(image_id, bytes, w, h, fmt, caption, phash — repo BASELINE.json:15):
+
+- ``raw``  : lossless packed RGB (header + uint8 pixels);
+- ``rle``  : lossless byte run-length encoding;
+- ``qdct`` : lossy 8x8 block DCT with uniform quantization — decoded
+  pixels satisfy PSNR >= 40 dB vs the source (tested), the per-row
+  invariant required by BASELINE.json:15.
+
+Also here: the 64-bit perceptual hash (DCT sign hash, the `phash`
+column) and the documented pure function ``geotag_from_phash`` that
+derives the geo view (lat/lon) from `phash`, so the base table keeps
+exactly the hinted shape and all geo columns are reproducible
+(FIXTURES.md §1).  The geotag distribution is zipfian: ~80% of images
+land in 5 "city-center" hotspots so skew handling is observable at toy
+scale.
+
+Everything is deterministic and pure numpy; codecs run inside Arrow
+batched UDFs (mapInPandas) on the Spark side.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+MAGIC_RAW = b"PBR1"
+MAGIC_RLE = b"PBL1"
+MAGIC_QDCT = b"PBQ1"
+
+_QDCT_STEP = 4.0  # uniform AC quantizer; MSE ~ q^2/12 -> PSNR ~ 46 dB
+_BLOCK = 8
+
+__all__ = [
+    "encode_image", "decode_image", "psnr", "phash64",
+    "gen_pixels", "geotag_from_phash", "splitmix64",
+]
+
+
+# ---------------------------------------------------------------------------
+# deterministic pixel synthesis
+# ---------------------------------------------------------------------------
+
+def gen_pixels(seq: int, w: int, h: int) -> np.ndarray:
+    """Deterministic (h, w, 3) uint8 image: smooth gradients whose phases
+    are keyed by ``seq`` plus counter-based noise (Philox — stable across
+    numpy versions)."""
+    rng = np.random.Generator(np.random.Philox(key=np.uint64(0xC0FFEE ^ seq)))
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    phase = rng.uniform(0, 2 * np.pi, size=3)
+    freq = rng.uniform(0.5, 3.0, size=3)
+    img = np.empty((h, w, 3), dtype=np.float64)
+    for c in range(3):
+        img[:, :, c] = (
+            127.5
+            + 80.0 * np.sin(2 * np.pi * freq[c] * xx / w + phase[c])
+            + 40.0 * np.cos(2 * np.pi * freq[(c + 1) % 3] * yy / h + phase[(c + 2) % 3])
+        )
+    img += rng.normal(0.0, 6.0, size=img.shape)
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# codecs
+# ---------------------------------------------------------------------------
+
+def _header(magic: bytes, w: int, h: int) -> bytes:
+    return magic + struct.pack(">HH", w, h)
+
+
+def _rle_encode(flat: np.ndarray) -> bytes:
+    # classic byte RLE: (run_len uint8 in 1..255, value uint8) pairs
+    change = np.nonzero(np.diff(flat))[0] + 1
+    starts = np.concatenate(([0], change))
+    ends = np.concatenate((change, [flat.size]))
+    out = bytearray()
+    for s, e in zip(starts.tolist(), ends.tolist()):
+        v = int(flat[s])
+        n = e - s
+        while n > 0:
+            take = min(n, 255)
+            out.append(take)
+            out.append(v)
+            n -= take
+    return bytes(out)
+
+
+def _rle_decode(data: bytes) -> np.ndarray:
+    arr = np.frombuffer(data, dtype=np.uint8).reshape(-1, 2)
+    return np.repeat(arr[:, 1], arr[:, 0])
+
+
+def _dct_mat(n: int = _BLOCK) -> np.ndarray:
+    k = np.arange(n)[:, None]
+    i = np.arange(n)[None, :]
+    m = np.cos(np.pi * (2 * i + 1) * k / (2 * n)) * np.sqrt(2.0 / n)
+    m[0, :] = 1.0 / np.sqrt(n)
+    return m
+
+
+_D8 = _dct_mat(_BLOCK)
+
+
+def _blockify(ch: np.ndarray) -> np.ndarray:
+    """(H, W) -> (nb, 8, 8) with zero padding to multiples of 8."""
+    h, w = ch.shape
+    ph, pw = (-h) % _BLOCK, (-w) % _BLOCK
+    if ph or pw:
+        ch = np.pad(ch, ((0, ph), (0, pw)), mode="edge")
+    hh, ww = ch.shape
+    return (ch.reshape(hh // _BLOCK, _BLOCK, ww // _BLOCK, _BLOCK)
+              .transpose(0, 2, 1, 3).reshape(-1, _BLOCK, _BLOCK)), hh, ww
+
+
+def _unblockify(blocks: np.ndarray, hh: int, ww: int, h: int, w: int) -> np.ndarray:
+    ch = (blocks.reshape(hh // _BLOCK, ww // _BLOCK, _BLOCK, _BLOCK)
+                .transpose(0, 2, 1, 3).reshape(hh, ww))
+    return ch[:h, :w]
+
+
+def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
+    """Encode (h, w, 3) uint8 pixels into the given format's byte payload."""
+    h, w = pixels.shape[:2]
+    hdr = _header({"raw": MAGIC_RAW, "rle": MAGIC_RLE, "qdct": MAGIC_QDCT}[fmt], w, h)
+    if fmt == "raw":
+        return hdr + pixels.tobytes()
+    if fmt == "rle":
+        return hdr + _rle_encode(pixels.reshape(-1))
+    # qdct: per-channel blockwise DCT, uniform quantization to int16
+    coefs = []
+    for c in range(3):
+        blocks, hh, ww = _blockify(pixels[:, :, c].astype(np.float64) - 128.0)
+        f = _D8 @ blocks @ _D8.T
+        coefs.append(np.round(f / _QDCT_STEP).astype(np.int16))
+    return hdr + np.concatenate([c.reshape(-1) for c in coefs]).tobytes()
+
+
+def decode_image(data: bytes) -> np.ndarray:
+    """Decode any of the three formats back to (h, w, 3) uint8 pixels."""
+    magic, (w, h) = data[:4], struct.unpack(">HH", data[4:8])
+    body = data[8:]
+    if magic == MAGIC_RAW:
+        return np.frombuffer(body, dtype=np.uint8).reshape(h, w, 3).copy()
+    if magic == MAGIC_RLE:
+        return _rle_decode(body).reshape(h, w, 3).copy()
+    if magic == MAGIC_QDCT:
+        hh, ww = h + ((-h) % _BLOCK), w + ((-w) % _BLOCK)
+        nb = (hh // _BLOCK) * (ww // _BLOCK)
+        q = np.frombuffer(body, dtype=np.int16).reshape(3, nb, _BLOCK, _BLOCK)
+        out = np.empty((h, w, 3), dtype=np.uint8)
+        for c in range(3):
+            f = q[c].astype(np.float64) * _QDCT_STEP
+            blocks = _D8.T @ f @ _D8
+            ch = _unblockify(blocks, hh, ww, h, w) + 128.0
+            out[:, :, c] = np.clip(np.round(ch), 0, 255).astype(np.uint8)
+        return out
+    raise ValueError(f"unknown image magic {magic!r}")
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    """Peak signal-to-noise ratio in dB between two uint8 images."""
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    if mse == 0:
+        return float("inf")
+    return float(10.0 * np.log10(255.0 ** 2 / mse))
+
+
+# ---------------------------------------------------------------------------
+# perceptual hash (DCT sign hash) + geotag derivation
+# ---------------------------------------------------------------------------
+
+def _resize_gray_32(pixels: np.ndarray) -> np.ndarray:
+    """Grayscale + area-resample to 32x32 (supports any size via integer
+    block-mean after nearest up-sampling to an LCM grid)."""
+    g = pixels.astype(np.float64).mean(axis=2)
+    h, w = g.shape
+    t = 32
+    # upsample by repeat so both dims are multiples of 32, then block-mean
+    ry = int(np.lcm(h, t) // h)
+    rx = int(np.lcm(w, t) // w)
+    up = np.repeat(np.repeat(g, ry, axis=0), rx, axis=1)
+    hh, ww = up.shape
+    return up.reshape(t, hh // t, t, ww // t).mean(axis=(1, 3))
+
+
+_D32 = _dct_mat(32)
+
+
+def phash64(pixels: np.ndarray) -> int:
+    """64-bit perceptual hash: 32x32 grayscale DCT, top-left 8x8 block,
+    bit i = coefficient > median.  Returned as signed int64."""
+    small = _resize_gray_32(pixels)
+    f = (_D32 @ small @ _D32.T)[:8, :8].reshape(-1)
+    med = np.median(f)
+    bits = np.uint64(0)
+    for i, v in enumerate(f):
+        if v > med:
+            bits |= np.uint64(1) << np.uint64(i)
+    return int(bits.view(np.int64) if hasattr(bits, "view") else bits)
+
+
+def splitmix64(x):
+    """SplitMix64 mix function, vectorized over uint64 arrays (wraparound
+    multiplication is the algorithm, not an error)."""
+    with np.errstate(over="ignore"):
+        z = (np.asarray(x).astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15))
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+
+# 5 "city-center" hotspots (lat, lon) for the zipfian geo distribution
+HOTSPOTS = np.array([
+    (40.7128, -74.0060),   # NYC
+    (51.5074, -0.1278),    # London
+    (35.6762, 139.6503),   # Tokyo
+    (-33.8688, 151.2093),  # Sydney
+    (19.4326, -99.1332),   # Mexico City
+])
+HOTSPOT_FRACTION = 0.8
+HOTSPOT_JITTER_DEG = 0.05
+
+
+def geotag_from_phash(phash):
+    """The documented pure geo derivation (FIXTURES.md §1): phash -> (lat,
+    lon).  ~80% of rows are drawn into 5 hotspot neighbourhoods (zipfian
+    city-center skew), the rest uniform over lat [-60, 90) x lon [-180,
+    180).  Vectorized; int64 array in, (lat, lon) float64 arrays out."""
+    p = np.asarray(phash, dtype=np.int64).view(np.uint64)
+    h1 = splitmix64(p)
+    h2 = splitmix64(p ^ np.uint64(0xDEADBEEFCAFEBABE))
+    h3 = splitmix64(p ^ np.uint64(0x123456789ABCDEF0))
+    u1 = (h1 >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+    u2 = (h2 >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+    u3 = (h3 >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+    hot = u1 < HOTSPOT_FRACTION
+    idx = (h1 % np.uint64(len(HOTSPOTS))).astype(np.int64)
+    lat = np.where(hot,
+                   HOTSPOTS[idx, 0] + (u2 - 0.5) * 2 * HOTSPOT_JITTER_DEG,
+                   -60.0 + 150.0 * u2)
+    lon = np.where(hot,
+                   HOTSPOTS[idx, 1] + (u3 - 0.5) * 2 * HOTSPOT_JITTER_DEG,
+                   -180.0 + 360.0 * u3)
+    return lat, lon

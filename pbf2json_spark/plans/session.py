@@ -1,0 +1,79 @@
+"""SparkSession builder with the engine's scale-oriented defaults.
+
+These configs encode the survey's §4 conclusions: let Catalyst + AQE do
+the physical planning (runtime bloom-filter semi-join reduction, skew
+join splitting, empty-relation propagation) and keep Python crossings
+Arrow-batched.  On a real cluster the same settings apply; only
+master/memory change (spark-submit provides them)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def build_session(app_name: str = "pbf2json-spark",
+                  cores: int | None = None,
+                  shuffle_partitions: int | None = None,
+                  extra: dict | None = None) -> SparkSession:
+    # single-host/sandbox environments can stall for minutes resolving the
+    # machine hostname; pin local loopback before the JVM launches (no-op
+    # when the user already exported a real address for cluster mode)
+    os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
+    b = SparkSession.builder.appName(app_name)
+    if cores is not None:
+        b = b.master(f"local[{cores}]")
+        if shuffle_partitions is None:
+            shuffle_partitions = max(cores, 8)
+    if shuffle_partitions is not None:
+        b = b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    defaults = {
+        # adaptive execution: runtime re-plan, skew-join splitting,
+        # empty-relation propagation (replaces the reference's pass-2 skip)
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        # runtime bloom filters = the reference's bitmask semi-joins (§4)
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        # Arrow everywhere Python is crossed
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+        # broadcast threshold: dimension tables (polygons, queries) fly
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        "spark.ui.enabled": "false",
+        "spark.ui.showConsoleProgress": "false",
+        "spark.driver.memory": "8g",
+    }
+    if cores is not None:  # local mode: loopback binding avoids DNS stalls
+        defaults.setdefault("spark.driver.bindAddress", "127.0.0.1")
+        defaults.setdefault("spark.driver.host", "127.0.0.1")
+    if extra:
+        defaults.update(extra)
+    for k, v in defaults.items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    ship_package(spark)
+    return spark
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Ship this package to executors (the local-mode equivalent of
+    ``spark-submit --py-files pbf2json_spark.zip``).  Without it, pandas
+    UDF closures referencing the package fail to unpickle on workers
+    whose PYTHONPATH doesn't include the repo."""
+    import zipfile
+
+    import pbf2json_spark
+
+    pkg_dir = os.path.dirname(os.path.abspath(pbf2json_spark.__file__))
+    zip_path = os.path.join(spark.sparkContext._temp_dir, "pbf2json_spark.zip")
+    if not os.path.exists(zip_path):
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                        zf.write(full, rel)
+        spark.sparkContext.addPyFile(zip_path)

@@ -1,0 +1,74 @@
+"""Codec round-trip + PSNR invariant tests (BASELINE.json:15 requires
+decoded-pixel allclose for lossless and PSNR >= 40 dB for lossy)."""
+
+import numpy as np
+import pytest
+
+from pbf2json_spark.functions import imagecodec as ic
+
+
+@pytest.mark.parametrize("w,h", [(16, 16), (32, 16), (64, 64), (20, 12)])
+def test_raw_roundtrip(w, h):
+    px = ic.gen_pixels(7, w, h)
+    assert np.array_equal(ic.decode_image(ic.encode_image(px, "raw")), px)
+
+
+@pytest.mark.parametrize("w,h", [(16, 16), (32, 64), (20, 12)])
+def test_rle_roundtrip(w, h):
+    px = ic.gen_pixels(11, w, h)
+    assert np.array_equal(ic.decode_image(ic.encode_image(px, "rle")), px)
+
+
+def test_rle_long_runs():
+    px = np.full((16, 16, 3), 200, dtype=np.uint8)  # run length > 255
+    assert np.array_equal(ic.decode_image(ic.encode_image(px, "rle")), px)
+
+
+@pytest.mark.parametrize("w,h", [(16, 16), (32, 32), (64, 32), (20, 12)])
+def test_qdct_psnr_at_least_40db(w, h):
+    px = ic.gen_pixels(13, w, h)
+    dec = ic.decode_image(ic.encode_image(px, "qdct"))
+    assert dec.shape == px.shape
+    assert ic.psnr(px, dec) >= 40.0
+
+
+def test_psnr_identity_inf():
+    px = ic.gen_pixels(1, 16, 16)
+    assert ic.psnr(px, px) == float("inf")
+
+
+def test_phash_deterministic_and_robust():
+    px = ic.gen_pixels(21, 64, 64)
+    h1 = ic.phash64(px)
+    assert isinstance(h1, int)
+    assert h1 == ic.phash64(px.copy())
+    # perceptual: qdct (lossy but PSNR>=40) must keep hamming distance small
+    dec = ic.decode_image(ic.encode_image(px, "qdct"))
+    h2 = ic.phash64(dec)
+    hamming = bin((h1 ^ h2) & (2**64 - 1)).count("1")
+    assert hamming <= 4
+    # and a very different image should be far
+    other = ic.gen_pixels(9999, 64, 64)
+    h3 = ic.phash64(other)
+    assert bin((h1 ^ h3) & (2**64 - 1)).count("1") > 10
+
+
+def test_geotag_pure_function_of_phash():
+    ph = np.array([1, 2, 3, -9223372036854775808, 9223372036854775807])
+    lat1, lon1 = ic.geotag_from_phash(ph)
+    lat2, lon2 = ic.geotag_from_phash(ph.copy())
+    assert np.array_equal(lat1, lat2) and np.array_equal(lon1, lon2)
+    assert np.all(lat1 >= -90) and np.all(lat1 <= 90)
+    assert np.all(lon1 >= -180) and np.all(lon1 < 180)
+
+
+def test_geotag_zipfian_hotspots():
+    ph = np.arange(20000, dtype=np.int64) * 2654435761
+    lat, lon = ic.geotag_from_phash(ph)
+    # ~80% of points within jitter distance of one of the 5 hotspots
+    near = np.zeros(len(ph), dtype=bool)
+    for hla, hlo in ic.HOTSPOTS:
+        near |= (np.abs(lat - hla) <= ic.HOTSPOT_JITTER_DEG + 1e-9) & \
+                (np.abs(lon - hlo) <= ic.HOTSPOT_JITTER_DEG + 1e-9)
+    frac = near.mean()
+    assert 0.75 < frac < 0.85
