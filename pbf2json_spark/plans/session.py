@@ -41,6 +41,9 @@ def build_session(app_name: str = "pbf2json-spark",
         "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
         # broadcast threshold: dimension tables (polygons, queries) fly
         "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        # trimTags can collide keys after whitespace strip; Go map insert
+        # order is nondeterministic there, LAST_WIN is our deterministic pick
+        "spark.sql.mapKeyDedupPolicy": "LAST_WIN",
         "spark.ui.enabled": "false",
         "spark.ui.showConsoleProgress": "false",
         "spark.driver.memory": "8g",
