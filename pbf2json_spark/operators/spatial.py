@@ -1,0 +1,309 @@
+"""Spatial operators over the images table: cell attachment, point-in-
+polygon, kNN, and raster tile assignment (the north-rule additions the
+reference lacks — repo BASELINE.json:6; SURVEY.md §2.3 J5, §2.4 A8).
+
+Design per operator (all range-like joins reduced to cell equi joins):
+
+- attach_geo: derive (lat, lon) from phash (the documented pure function
+  — the base table keeps exactly the hinted shape) + cell ids at chosen
+  resolutions, one vectorized Arrow pass, no shuffle.
+- point_in_polygon: polygons are a small dim side -> compute each
+  polygon's covering cells driver-side (vectorized numpy) and BROADCAST
+  the (cell -> poly) table; points equi-join on their cell id; exact
+  ray-cast refine runs as a salted applyInPandas over (poly_id, salt)
+  groups so one city-center polygon cannot pin a single task (skew
+  handling the north rule demands).
+- knn: iterative cell-disk expansion. Round r joins still-unsatisfied
+  queries' k-disk cells (exploded, broadcast) against points bucketed at
+  the same res, re-ranks by haversine with a JVM-side expression (whole-
+  stage codegen, no Python), and terminates a query when its kth
+  distance <= the conservative disk-exit bound.  Unsatisfied queries
+  escalate the ring (x2) up to max_rounds, then brute-force the
+  leftovers.  This is the reference-free operator the survey maps from
+  'H3 k-ring expansion + distance re-rank'.
+- tile_assignment: decode image bytes (mapInPandas batches), block-
+  reduce pixels to a gxg grid, map each block to the geo cell under its
+  footprint, and aggregate per cell — raster->vector, 'assign decoded
+  image rasters to vector cells'.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions import cellindex as cx
+from ..functions import geokernels as gk
+from ..functions import imagecodec as ic
+
+DEFAULT_RES = 9
+KNN_RES = 12
+
+
+# ---------------------------------------------------------------------------
+# geo attachment
+# ---------------------------------------------------------------------------
+
+def make_geo_udf(res_list=(DEFAULT_RES,)):
+    fields = [T.StructField("lat", T.DoubleType()),
+              T.StructField("lon", T.DoubleType())]
+    fields += [T.StructField(f"cell_r{r}", T.LongType()) for r in res_list]
+
+    @F.pandas_udf(T.StructType(fields))
+    def geo(phash: pd.Series) -> pd.DataFrame:
+        lat, lon = ic.geotag_from_phash(phash.to_numpy(dtype=np.int64))
+        out = {"lat": lat, "lon": lon}
+        for r in res_list:
+            out[f"cell_r{r}"] = cx.cell_id(lat, lon, r)
+        return pd.DataFrame(out)
+
+    return geo
+
+
+def attach_geo(images: DataFrame, res_list=(DEFAULT_RES,)) -> DataFrame:
+    """images + (lat, lon, cell_r{res}...) derived from phash.  Reads only
+    the columns it needs; zero shuffle."""
+    geo = make_geo_udf(res_list)
+    g = images.withColumn("_g", geo("phash"))
+    cols = [images[c] for c in images.columns]
+    cols += [F.col("_g.lat").alias("lat"), F.col("_g.lon").alias("lon")]
+    cols += [F.col(f"_g.cell_r{r}").alias(f"cell_r{r}") for r in res_list]
+    return g.select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# point-in-polygon
+# ---------------------------------------------------------------------------
+
+def point_in_polygon(points: DataFrame, polygons: DataFrame,
+                     res: int = DEFAULT_RES, salt_buckets: int = 16,
+                     point_id: str = "image_id") -> DataFrame:
+    """(poly_id, <point_id>, lat, lon) for every point inside a polygon.
+
+    points must carry (point_id, lat, lon, cell_r{res}); polygons is the
+    small dim table (poly_id, ring_lats, ring_lons, ...)."""
+    polys = polygons.select("poly_id", "ring_lats", "ring_lons").toPandas()
+
+    # covering cells per polygon, vectorized numpy, broadcast to executors
+    cover_rows = []
+    rings = {}
+    for p in polys.itertuples():
+        rla = np.asarray(p.ring_lats, dtype=np.float64)
+        rlo = np.asarray(p.ring_lons, dtype=np.float64)
+        rings[p.poly_id] = (rla, rlo)
+        for c in cx.cover_polygon(rla, rlo, res).tolist():
+            cover_rows.append((c, p.poly_id))
+    spark = points.sparkSession
+    cover = spark.createDataFrame(
+        pd.DataFrame(cover_rows, columns=["cell", "poly_id"]),
+        schema=f"cell long, poly_id string")
+
+    cand = points.select(
+        F.col(point_id), "lat", "lon",
+        F.col(f"cell_r{res}").alias("cell"),
+    ).join(F.broadcast(cover), "cell").drop("cell")
+
+    # salted exact refine: (poly_id, salt) groups keep hot polygons split
+    cand = cand.withColumn(
+        "salt", F.pmod(F.xxhash64(point_id), F.lit(salt_buckets)))
+
+    out_schema = T.StructType([
+        T.StructField("poly_id", T.StringType()),
+        T.StructField(point_id, points.schema[point_id].dataType),
+        T.StructField("lat", T.DoubleType()),
+        T.StructField("lon", T.DoubleType()),
+    ])
+
+    def refine(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        rla, rlo = rings[key[0]]
+        inside = gk.raycast_contains(rla, rlo,
+                                     pdf["lat"].to_numpy(),
+                                     pdf["lon"].to_numpy())
+        r = pdf.loc[inside, [point_id, "lat", "lon"]].copy()
+        r.insert(0, "poly_id", key[0])
+        return r
+
+    return cand.groupBy("poly_id", "salt").applyInPandas(refine, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# kNN
+# ---------------------------------------------------------------------------
+
+def _haversine_col(lat1, lon1, lat2, lon2):
+    """JVM-side haversine (same sphere as geokernels) — whole-stage
+    codegen, no Python in the hot re-rank path."""
+    dla = F.radians(lat2 - lat1)
+    dlo = F.radians(lon2 - lon1)
+    a = (F.sin(dla / 2) ** 2
+         + F.cos(F.radians(lat1)) * F.cos(F.radians(lat2)) * F.sin(dlo / 2) ** 2)
+    return 2.0 * gk.EARTH_RADIUS_M * F.atan2(F.sqrt(a), F.sqrt(1.0 - a))
+
+
+def _disk_cells_udf(res: int):
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def disk_cells(lat: pd.Series, lon: pd.Series, ring: pd.Series) -> pd.Series:
+        la = lat.to_numpy(dtype=np.float64)
+        lo = lon.to_numpy(dtype=np.float64)
+        out = []
+        cells = cx.cell_id(la, lo, res)
+        for i in range(len(la)):
+            d = cx.disk(cells[i:i + 1], int(ring.iloc[i]))[0]
+            out.append([c for c in d.tolist() if c >= 0])
+        return pd.Series(out)
+
+    return disk_cells
+
+
+def _exit_dist_udf(res: int):
+    @F.pandas_udf(T.DoubleType())
+    def exit_dist(lat: pd.Series, lon: pd.Series, ring: pd.Series) -> pd.Series:
+        la = lat.to_numpy(dtype=np.float64)
+        lo = lon.to_numpy(dtype=np.float64)
+        k = ring.to_numpy(dtype=np.int64)
+        out = np.empty(len(la))
+        for kk in np.unique(k):
+            m = k == kk
+            out[m] = cx.disk_exit_distance_m(la[m], lo[m], res, int(kk))
+        return pd.Series(out)
+
+    return exit_dist
+
+
+def knn(points: DataFrame, queries: DataFrame, k: int,
+        res: int = KNN_RES, initial_ring: int = 1, max_rounds: int = 5,
+        point_id: str = "image_id") -> DataFrame:
+    """Top-k nearest points per query with exact-termination guarantee.
+
+    points: (point_id, lat, lon, cell_r{res}); queries: (query_id, lat,
+    lon).  Returns (query_id, <point_id>, dist_m, rank).  The per-round
+    candidate join is cell-equi (broadcast of the exploded query disks);
+    re-rank is a window over haversine.  Queries whose kth candidate is
+    not provably within the disk escalate ring x2; after max_rounds the
+    stragglers (typically a handful in empty oceans) are brute-forced."""
+    pts = points.select(
+        F.col(point_id), F.col("lat").alias("p_lat"),
+        F.col("lon").alias("p_lon"), F.col(f"cell_r{res}").alias("cell"))
+    pts = pts.persist()
+
+    disk_udf = _disk_cells_udf(res)
+    exit_udf = _exit_dist_udf(res)
+
+    remaining = queries.select("query_id", "lat", "lon").toPandas()
+    spark = points.sparkSession
+    results = []
+    ring = initial_ring
+    for _round in range(max_rounds):
+        if remaining.empty:
+            break
+        qdf = spark.createDataFrame(remaining, schema="query_id string, lat double, lon double")
+        qcells = qdf.withColumn("ring", F.lit(ring)) \
+                    .withColumn("exit_m", exit_udf("lat", "lon", "ring")) \
+                    .withColumn("cell", F.explode(disk_udf("lat", "lon", "ring")))
+        cand = pts.join(F.broadcast(qcells), "cell")
+        cand = cand.withColumn(
+            "dist_m", _haversine_col(F.col("lat"), F.col("lon"),
+                                     F.col("p_lat"), F.col("p_lon")))
+        win = Window.partitionBy("query_id").orderBy("dist_m", point_id)
+        top = (cand.withColumn("rank", F.row_number().over(win))
+                   .filter(F.col("rank") <= k)
+                   .select("query_id", point_id, "dist_m", "rank", "exit_m"))
+        tp = top.toPandas()
+        if not tp.empty:
+            done_mask = (tp.groupby("query_id")
+                           .agg(n=("rank", "size"), worst=("dist_m", "max"),
+                                exit_m=("exit_m", "first")))
+            done_ids = set(done_mask[(done_mask["n"] >= k)
+                                     & (done_mask["worst"] <= done_mask["exit_m"])].index)
+        else:
+            done_ids = set()
+        results.append(tp[tp["query_id"].isin(done_ids)][
+            ["query_id", point_id, "dist_m", "rank"]])
+        remaining = remaining[~remaining["query_id"].isin(done_ids)]
+        ring *= 2
+
+    if not remaining.empty:  # brute force the stragglers (cross join is
+        # tiny: |remaining| x |points| only for queries in empty regions)
+        qdf = spark.createDataFrame(remaining, schema="query_id string, lat double, lon double")
+        cand = pts.crossJoin(F.broadcast(qdf))
+        cand = cand.withColumn(
+            "dist_m", _haversine_col(F.col("lat"), F.col("lon"),
+                                     F.col("p_lat"), F.col("p_lon")))
+        win = Window.partitionBy("query_id").orderBy("dist_m", point_id)
+        tp = (cand.withColumn("rank", F.row_number().over(win))
+                  .filter(F.col("rank") <= k)
+                  .select("query_id", point_id, "dist_m", "rank")).toPandas()
+        results.append(tp)
+
+    pts.unpersist()
+    all_res = pd.concat(results, ignore_index=True) if results else \
+        pd.DataFrame(columns=["query_id", point_id, "dist_m", "rank"])
+    return spark.createDataFrame(
+        all_res, schema=f"query_id string, {point_id} string, dist_m double, rank int")
+
+
+# ---------------------------------------------------------------------------
+# raster tile assignment
+# ---------------------------------------------------------------------------
+
+TILE_SCHEMA = T.StructType([
+    T.StructField("image_id", T.StringType()),
+    T.StructField("cell", T.LongType()),
+    T.StructField("block_row", T.IntegerType()),
+    T.StructField("block_col", T.IntegerType()),
+    T.StructField("mean_intensity", T.DoubleType()),
+])
+
+# footprint of an image on the ground, degrees per pixel (synthetic but
+# fixed: raster extent scales with resolution like real imagery)
+DEG_PER_PX = 0.0005
+
+
+def image_blocks(images_geo: DataFrame, grid: int = 4,
+                 res: int = KNN_RES) -> DataFrame:
+    """Decode every image, reduce to grid x grid mean-intensity blocks,
+    and assign each block the cell under its footprint center."""
+
+    def gen(batches):
+        for pdf in batches:
+            ids, cells, rows, cols, vals = [], [], [], [], []
+            for r in pdf.itertuples():
+                px = ic.decode_image(bytes(r.bytes)).astype(np.float64).mean(axis=2)
+                h, w = px.shape
+                bh, bw = max(h // grid, 1), max(w // grid, 1)
+                trimmed = px[:bh * grid, :bw * grid]
+                blocks = trimmed.reshape(grid, bh, grid, bw).mean(axis=(1, 3))
+                # block centers in geo space around the image's geotag
+                dy = (np.arange(grid) - (grid - 1) / 2.0) * bh * DEG_PER_PX
+                dx = (np.arange(grid) - (grid - 1) / 2.0) * bw * DEG_PER_PX
+                bla = r.lat - dy[:, None] + np.zeros((1, grid))
+                blo = r.lon + dx[None, :] + np.zeros((grid, 1))
+                c = cx.cell_id(bla.reshape(-1), blo.reshape(-1), res)
+                n = grid * grid
+                ids.extend([r.image_id] * n)
+                cells.extend(c.tolist())
+                gr, gc = np.meshgrid(np.arange(grid), np.arange(grid), indexing="ij")
+                rows.extend(gr.reshape(-1).tolist())
+                cols.extend(gc.reshape(-1).tolist())
+                vals.extend(blocks.reshape(-1).tolist())
+            yield pd.DataFrame({
+                "image_id": ids, "cell": cells, "block_row": rows,
+                "block_col": cols, "mean_intensity": vals})
+
+    return images_geo.select("image_id", "bytes", "lat", "lon") \
+                     .mapInPandas(gen, TILE_SCHEMA)
+
+
+def tile_assignment(images_geo: DataFrame, grid: int = 4,
+                    res: int = KNN_RES) -> DataFrame:
+    """Aggregate decoded raster blocks per vector cell: (cell, n_blocks,
+    n_images, avg_intensity) — partial aggregation is map-side, the
+    only shuffle is the final groupBy(cell)."""
+    blocks = image_blocks(images_geo, grid, res)
+    return (blocks.groupBy("cell")
+            .agg(F.count("*").alias("n_blocks"),
+                 F.countDistinct("image_id").alias("n_images"),
+                 F.avg("mean_intensity").alias("avg_intensity")))

@@ -1,0 +1,110 @@
+"""PIP / kNN / tile-assignment vs brute-force numpy oracles
+(FIXTURES.md §3)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pbf2json_spark.functions import cellindex as cx
+from pbf2json_spark.functions import geokernels as gk
+from pbf2json_spark.functions import imagecodec as ic
+from pbf2json_spark.operators import spatial as sp
+from pbf2json_spark.sources import synth
+
+N_IMAGES = 800
+
+
+@pytest.fixture(scope="module")
+def points(spark):
+    imgs = synth.images_df(spark, N_IMAGES, partitions=8)
+    geo = sp.attach_geo(imgs, res_list=(sp.DEFAULT_RES, sp.KNN_RES))
+    geo = geo.persist()
+    geo.count()
+    return geo
+
+
+@pytest.fixture(scope="module")
+def points_pdf():
+    pdf = synth.gen_images_pdf(N_IMAGES)
+    lat, lon = ic.geotag_from_phash(pdf["phash"].to_numpy())
+    pdf = pdf.assign(lat=lat, lon=lon)
+    return pdf
+
+
+def test_attach_geo_matches_pure_function(points, points_pdf):
+    got = points.select("image_id", "lat", "lon").orderBy("image_id").toPandas()
+    want = points_pdf.sort_values("image_id")
+    assert np.allclose(got["lat"].to_numpy(), want["lat"].to_numpy())
+    assert np.allclose(got["lon"].to_numpy(), want["lon"].to_numpy())
+    # cell columns match the codec
+    g2 = points.select("image_id", f"cell_r{sp.DEFAULT_RES}").orderBy("image_id").toPandas()
+    want_cells = cx.cell_id(want["lat"].to_numpy(), want["lon"].to_numpy(), sp.DEFAULT_RES)
+    assert g2[f"cell_r{sp.DEFAULT_RES}"].to_numpy().tolist() == want_cells.tolist()
+
+
+def test_point_in_polygon_exact(spark, points, points_pdf):
+    polys = synth.polygons_df(spark, 12)
+    got = sp.point_in_polygon(points, polys, res=sp.DEFAULT_RES).toPandas()
+    got_pairs = set(zip(got["poly_id"], got["image_id"]))
+
+    ppdf = synth.gen_polygons_pdf(12)
+    want_pairs = set()
+    for p in ppdf.itertuples():
+        inside = gk.raycast_contains(
+            np.asarray(p.ring_lats), np.asarray(p.ring_lons),
+            points_pdf["lat"].to_numpy(), points_pdf["lon"].to_numpy())
+        for img in points_pdf.loc[inside, "image_id"]:
+            want_pairs.add((p.poly_id, img))
+    assert got_pairs == want_pairs
+    assert len(want_pairs) > 50, "fixture should put many points in hotspot polygons"
+
+
+def test_knn_exact(spark, points, points_pdf):
+    K = 5
+    queries = synth.knn_queries_df(spark, 30, k=K)
+    got = sp.knn(points, queries, k=K).toPandas()
+
+    qpdf = synth.gen_knn_queries_pdf(30, k=K)
+    pla = points_pdf["lat"].to_numpy()
+    plo = points_pdf["lon"].to_numpy()
+    ids = points_pdf["image_id"].to_numpy()
+    for q in qpdf.itertuples():
+        d = gk.haversine_m(q.lat, q.lon, pla, plo)
+        order = np.lexsort((ids, d))[:K]
+        want_ids = ids[order].tolist()
+        sub = got[got["query_id"] == q.query_id].sort_values("rank")
+        assert sub["image_id"].tolist() == want_ids, q.query_id
+        assert np.allclose(sub["dist_m"].to_numpy(), d[order], rtol=1e-9)
+    # every query answered exactly once per rank
+    assert len(got) == 30 * K
+
+
+def test_tile_assignment_matches_pandas(spark, points, points_pdf):
+    got = sp.tile_assignment(points, grid=4, res=sp.KNN_RES) \
+            .orderBy("cell").toPandas()
+
+    # pandas oracle
+    rows = []
+    for r in points_pdf.itertuples():
+        px = ic.decode_image(bytes(r.bytes)).astype(np.float64).mean(axis=2)
+        h, w = px.shape
+        g = 4
+        bh, bw = max(h // g, 1), max(w // g, 1)
+        blocks = px[:bh * g, :bw * g].reshape(g, bh, g, bw).mean(axis=(1, 3))
+        dy = (np.arange(g) - (g - 1) / 2.0) * bh * sp.DEG_PER_PX
+        dx = (np.arange(g) - (g - 1) / 2.0) * bw * sp.DEG_PER_PX
+        bla = (r.lat - dy[:, None] + np.zeros((1, g))).reshape(-1)
+        blo = (r.lon + dx[None, :] + np.zeros((g, 1))).reshape(-1)
+        cells = cx.cell_id(bla, blo, sp.KNN_RES)
+        for c, v in zip(cells.tolist(), blocks.reshape(-1).tolist()):
+            rows.append((r.image_id, c, v))
+    odf = pd.DataFrame(rows, columns=["image_id", "cell", "v"])
+    want = odf.groupby("cell").agg(
+        n_blocks=("v", "size"), n_images=("image_id", "nunique"),
+        avg_intensity=("v", "mean")).reset_index().sort_values("cell")
+
+    assert got["cell"].tolist() == want["cell"].tolist()
+    assert got["n_blocks"].tolist() == want["n_blocks"].tolist()
+    assert got["n_images"].tolist() == want["n_images"].tolist()
+    assert np.allclose(got["avg_intensity"].to_numpy(),
+                       want["avg_intensity"].to_numpy())
