@@ -1,10 +1,18 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry runs an engine operator (pbf2json_spark) over
+the driver's parquet tables at ``sf_dir``; ``oracle_sql()`` carries the
+equivalent DuckDB SQL.  Operators whose semantics SQL cannot express
+(SimHash banding, LSH-bucketed ANN, the OSM-parity pipeline itself)
+ship without an oracle entry — the driver records the weaker rows-only
+check and pytest carries their exactness (tests/ vs pure-Python/numpy
+oracles).
+
+Mapping to SURVEY.md §2: P1-P3 (tag DNF) -> q_tag_filter_dnf; J1/A1
+(denormalize+collect) -> q_order_denorm; A5 (argmax) -> q_argmax_pick;
+A1 (bbox) -> q_bounds_agg; A4 (priority pick) -> q_priority_pick; J4
+(semi joins) -> q_semi_join_closure; J5 (PIP/kNN) -> q_pip_rect /
+q_knn_geo; plus the training-data operators (dedup / text / similarity).
 """
 
 from __future__ import annotations
@@ -12,27 +20,506 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+HEX60 = float(1 << 60)
+
+# deterministic point derivation shared by the Spark ops and the SQL
+# oracles: u = first-15-hex-digits-of-md5 / 2^60  (exact in both engines)
+_LAT_SQL = "(-60.0 + 150.0 * (('0x' || substr(md5(c_custkey::VARCHAR || 'lat'), 1, 15))::BIGINT / 1152921504606846976.0))"
+_LON_SQL = "(-180.0 + 360.0 * (('0x' || substr(md5(c_custkey::VARCHAR || 'lon'), 1, 15))::BIGINT / 1152921504606846976.0))"
+
+RECTS = {  # rectangle polygons for the PIP check (lat_lo, lat_hi, lon_lo, lon_hi)
+    "rect_a": (0.0, 30.0, 0.0, 40.0),
+    "rect_b": (-30.0, -5.0, -120.0, -60.0),
+}
+
+KNN_QUERIES = [  # fixed query points for q_knn_geo
+    ("q0", 10.0, 20.0), ("q1", -20.0, -100.0), ("q2", 45.0, 120.0),
+    ("q3", 0.0, 0.0), ("q4", 60.0, -170.0),
+]
+KNN_K = 8
+
+
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _ship(spark: SparkSession) -> None:
+    from pbf2json_spark.plans.session import ship_package
+    try:
+        ship_package(spark)
+    except Exception:
+        pass  # already shipped / non-local master
+
+
+def _customer_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic geo points derived from customer keys (portable
+    md5-based uniform hash; same formula in the SQL oracles)."""
+    c = _load(spark, sf_dir, "customer")
+    u = lambda salt: (F.conv(F.substring(F.md5(
+        F.concat(F.col("c_custkey").cast("string"), F.lit(salt))), 1, 15),
+        16, 10).cast("bigint") / F.lit(HEX60))
+    return c.select(
+        F.col("c_custkey").cast("string").alias("point_id"),
+        (F.lit(-60.0) + 150.0 * u("lat")).alias("lat"),
+        (F.lit(-180.0) + 360.0 * u("lon")).alias("lon"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def q_tag_filter_dnf(spark, sf_dir):
+    from pbf2json_spark.functions.tagpredicate import compile_tag_predicate
+    docs = _load(spark, sf_dir, "documents").withColumn(
+        "tags", F.create_map(F.lit("lang"), F.col("lang"),
+                             F.lit("source"), F.col("source")))
+    pred = compile_tag_predicate("lang~en+source~src3,lang~zh")
+    return docs.filter(pred).select("doc_id", "lang", "source")
+
+
+def q_order_denorm(spark, sf_dir):
+    orders = _load(spark, sf_dir, "orders")
+    li = _load(spark, sf_dir, "lineitem")
+    j = orders.join(li, orders.o_orderkey == li.l_orderkey)
+    return (j.groupBy("o_orderkey")
+            .agg(F.count("*").alias("n_items"),
+                 F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+                 F.array_join(F.sort_array(F.collect_list(
+                     F.col("l_linenumber"))).cast("array<string>"), ",")
+                  .alias("lines")))
+
+
+def q_argmax_pick(spark, sf_dir):
+    from pyspark.sql import Window
+    orders = _load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (orders.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("o_custkey", "o_orderkey",
+                    F.round("o_totalprice", 6).alias("top_price")))
+
+
+def q_bounds_agg(spark, sf_dir):
+    ev = _load(spark, sf_dir, "events")
+    return (ev.groupBy("user_id")
+            .agg(F.round(F.max("value"), 9).alias("n"),
+                 F.round(F.min("value"), 9).alias("s"),
+                 F.max(F.unix_timestamp("ts")).alias("e"),
+                 F.min(F.unix_timestamp("ts")).alias("w"),
+                 F.count("*").alias("n_events")))
+
+
+def q_priority_pick(spark, sf_dir):
+    from pyspark.sql import Window
+    ev = _load(spark, sf_dir, "events")
+    prio = (F.when(F.col("event_type") == "purchase", 2)
+             .when(F.col("event_type") == "click", 1)
+             .otherwise(0))
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc(prio), F.asc("ts"), F.asc("event_id"))
+    return (ev.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "event_id", "event_type"))
+
+
+def q_semi_join_closure(spark, sf_dir):
+    cust = _load(spark, sf_dir, "customer")
+    orders = _load(spark, sf_dir, "orders")
+    big = orders.filter(F.col("o_totalprice") > 100000)
+    return cust.join(big, cust.c_custkey == big.o_custkey, "leftsemi") \
+               .select("c_custkey", "c_name")
+
+
+def q_exact_dedup(spark, sf_dir):
+    from pbf2json_spark.operators.dedup import exact_dedup
+    return exact_dedup(_load(spark, sf_dir, "documents"))
+
+
+def q_token_count(spark, sf_dir):
+    from pbf2json_spark.operators.textops import token_counts
+    return token_counts(_load(spark, sf_dir, "documents"))
+
+
+def q_quality_score(spark, sf_dir):
+    from pbf2json_spark.operators.textops import quality_scores
+    return quality_scores(_load(spark, sf_dir, "documents"))
+
+
+def q_lang_id(spark, sf_dir):
+    from pbf2json_spark.operators.textops import language_id
+    return language_id(_load(spark, sf_dir, "documents"))
+
+
+def q_fingerprint(spark, sf_dir):
+    from pbf2json_spark.operators.textops import fingerprints
+    return fingerprints(_load(spark, sf_dir, "documents"))
+
+
+def q_minhash_lsh(spark, sf_dir):
+    from pbf2json_spark.operators.dedup import minhash_lsh_pairs
+    return minhash_lsh_pairs(_load(spark, sf_dir, "documents"), tau=0.2)
+
+
+def q_simhash_pairs(spark, sf_dir):  # no SQL oracle: rows-only check
+    from pbf2json_spark.operators.dedup import simhash_near_pairs
+    _ship(spark)
+    return simhash_near_pairs(_load(spark, sf_dir, "documents"),
+                              max_hamming=8)
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    from pbf2json_spark.operators.dedup import ngram_jaccard_pairs
+    return ngram_jaccard_pairs(_load(spark, sf_dir, "documents"), tau=0.15)
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    from pbf2json_spark.operators.similarity import ann_brute_force
+    emb = _load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").cast("string").alias("query_id"),
+        F.col("embedding").alias("q_embedding"))
+    res = ann_brute_force(emb, queries, k=10)
+    return res.select("query_id", "vec_id", "rank",
+                      F.round("cos", 6).alias("cos_r"))
+
+
+def q_ann_lsh_topk(spark, sf_dir):  # no SQL oracle: rows-only check
+    from pbf2json_spark.operators.similarity import ann_lsh
+    _ship(spark)
+    emb = _load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").cast("string").alias("query_id"),
+        F.col("embedding").alias("q_embedding"))
+    return ann_lsh(emb, queries, k=10, dim=64)
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    from pbf2json_spark.operators.similarity import embedding_near_dup_pairs
+    return embedding_near_dup_pairs(
+        _load(spark, sf_dir, "embeddings"), tau=0.8)
+
+
+def _cell_udf(res: int):
+    """res-cell pandas UDF (legacy no-hint form: `from __future__ import
+    annotations` in this module turns hints into strings pyspark can't
+    resolve)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from pbf2json_spark.functions import cellindex as cx
+
+    def cell(lat, lon):
+        return pd.Series(cx.cell_id(lat.to_numpy(np.float64),
+                                    lon.to_numpy(np.float64), res))
+
+    return F.pandas_udf(cell, T.LongType())
+
+
+def q_pip_rect(spark, sf_dir):
+    from pbf2json_spark.operators.spatial import point_in_polygon
+    _ship(spark)
+    pts = _customer_points(spark, sf_dir)
+    pts = pts.withColumn("cell_r9", _cell_udf(9)("lat", "lon"))
+    rows = []
+    for pid, (la0, la1, lo0, lo1) in RECTS.items():
+        rows.append((pid, [la0, la1, la1, la0, la0],
+                     [lo0, lo0, lo1, lo1, lo0], {}))
+    polys = spark.createDataFrame(
+        rows, schema="poly_id string, ring_lats array<double>, "
+                     "ring_lons array<double>, tags map<string,string>")
+    res = point_in_polygon(pts, polys, res=9, point_id="point_id")
+    return res.select("poly_id", "point_id",
+                      F.round("lat", 9).alias("lat_r"),
+                      F.round("lon", 9).alias("lon_r"))
+
+
+def q_knn_geo(spark, sf_dir):
+    from pbf2json_spark.operators.spatial import knn
+    _ship(spark)
+    pts = _customer_points(spark, sf_dir)
+    pts = pts.withColumn("cell_r12", _cell_udf(12)("lat", "lon"))
+    queries = spark.createDataFrame(
+        KNN_QUERIES, schema="query_id string, lat double, lon double")
+    res = knn(pts, queries, k=KNN_K, res=12, initial_ring=2,
+              point_id="point_id")
+    return res.select("query_id", "point_id", "rank")
+
+
+def q_tile_assignment(spark, sf_dir):  # no SQL oracle (decodes binaries)
+    from pbf2json_spark.operators.spatial import attach_geo, tile_assignment
+    from pbf2json_spark.sources.synth import images_df
+    _ship(spark)
+    n = max(200, _scale_rows(sf_dir))
+    imgs = images_df(spark, n)
+    geo = attach_geo(imgs, res_list=(9, 12))
+    return tile_assignment(geo, grid=4, res=12)
+
+
+def q_osm_pipeline(spark, sf_dir):  # no SQL oracle (pytest parity suite)
+    from pbf2json_spark.operators.denormalize import run_pipeline
+    from pbf2json_spark.sources.synth import osm_tables_df
+    _ship(spark)
+    n = max(300, _scale_rows(sf_dir))
+    nodes, ways, rels = osm_tables_df(spark, n, n // 5, n // 25)
+    return run_pipeline(nodes, ways, rels, "building,shop")
+
+
+def _scale_rows(sf_dir: str) -> int:
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = 0.01
+    return int(sf * 100_000)
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the spatial PIP over deterministic points at sf0.001."""
+    return q_pip_rect(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q_tag_filter_dnf": q_tag_filter_dnf,
+        "q_order_denorm": q_order_denorm,
+        "q_argmax_pick": q_argmax_pick,
+        "q_bounds_agg": q_bounds_agg,
+        "q_priority_pick": q_priority_pick,
+        "q_semi_join_closure": q_semi_join_closure,
+        "q_exact_dedup": q_exact_dedup,
+        "q_token_count": q_token_count,
+        "q_quality_score": q_quality_score,
+        "q_lang_id": q_lang_id,
+        "q_fingerprint": q_fingerprint,
+        "q_minhash_lsh": q_minhash_lsh,
+        "q_simhash_pairs": q_simhash_pairs,
+        "q_ngram_jaccard": q_ngram_jaccard,
+        "q_ann_cosine_topk": q_ann_cosine_topk,
+        "q_ann_lsh_topk": q_ann_lsh_topk,
+        "q_embedding_near_dup": q_embedding_near_dup,
+        "q_pip_rect": q_pip_rect,
+        "q_knn_geo": q_knn_geo,
+        "q_tile_assignment": q_tile_assignment,
+        "q_osm_pipeline": q_osm_pipeline,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+def _minhash_oracle_sql(tau: float = 0.2) -> str:
+    from pbf2json_spark.operators.dedup import (MINHASH_A, MINHASH_B,
+                                                MINHASH_BANDS, MINHASH_K,
+                                                MINHASH_PRIME, MINHASH_ROWS)
+    P = MINHASH_PRIME
+    toks = ("regexp_split_to_array(trim(regexp_replace(lower(text), "
+            "'\\s+', ' ', 'g')), ' ')")
+    sh = (f"list_distinct(list_transform(range(1, greatest(len({toks}) - 2, 1) + 1), "
+          f"i -> array_to_string(({toks})[i:i+2], ' ')))")
+    shh = (f"list_transform({sh}, s -> "
+           f"(('0x' || substr(md5(s), 1, 15))::BIGINT) % {P})")
+    mh_cols = ", ".join(
+        f"list_min(list_transform(sh, h -> (h * {MINHASH_A[i]} + {MINHASH_B[i]}) % {P})) AS mh_{i}"
+        for i in range(MINHASH_K))
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({concat}) AS sig FROM sig".format(
+            b=b, concat=" || '_' || ".join(
+                f"mh_{b * MINHASH_ROWS + r}::VARCHAR" for r in range(MINHASH_ROWS)))
+        for b in range(MINHASH_BANDS))
+    return f"""
+WITH base AS (SELECT doc_id, {shh} AS sh FROM documents),
+sig AS (SELECT doc_id, {mh_cols} FROM base),
+bands AS ({band_selects}),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+shing AS (SELECT doc_id, {sh} AS s FROM documents)
+SELECT doc_a, doc_b,
+       round(len(list_intersect(x.s, y.s))::DOUBLE
+             / len(list_distinct(x.s || y.s)), 9) AS jaccard
+FROM cand JOIN shing x ON cand.doc_a = x.doc_id
+          JOIN shing y ON cand.doc_b = y.doc_id
+WHERE round(len(list_intersect(x.s, y.s))::DOUBLE
+            / len(list_distinct(x.s || y.s)), 9) >= {tau}
+"""
+
+
+def _ngram_jaccard_oracle_sql(tau: float = 0.15, bucket: int = 100) -> str:
+    toks = ("regexp_split_to_array(trim(regexp_replace(lower(text), "
+            "'\\s+', ' ', 'g')), ' ')")
+    sh = (f"list_distinct(list_transform(range(1, greatest(len({toks}) - 2, 1) + 1), "
+          f"i -> array_to_string(({toks})[i:i+2], ' ')))")
+    return f"""
+WITH base AS (SELECT doc_id, lang, (n_chars / {bucket})::INT AS lb, {sh} AS s
+              FROM documents)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(len(list_intersect(a.s, b.s))::DOUBLE
+             / len(list_distinct(a.s || b.s)), 9) AS jaccard
+FROM base a JOIN base b
+  ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
+WHERE round(len(list_intersect(a.s, b.s))::DOUBLE
+            / len(list_distinct(a.s || b.s)), 9) >= {tau}
+"""
+
+
+def _quality_oracle_sql() -> str:
+    from pbf2json_spark.operators.textops import STOPWORDS
+    stop = ", ".join(f"'{s}'" for s in STOPWORDS)
+    toks = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+    return f"""
+SELECT doc_id,
+       length(text) AS len_chars,
+       round(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g'))::DOUBLE
+             / length(text), 9) AS punct_ratio,
+       round(len(list_filter({toks}, t -> t IN ({stop})))::DOUBLE
+             / len({toks}), 9) AS stop_ratio,
+       round(least(length(text) / 500.0, 1.0) * 0.4
+             + (1.0 - length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g'))::DOUBLE
+                      / length(text)) * 0.3
+             + least(len(list_filter({toks}, t -> t IN ({stop})))::DOUBLE
+                     / len({toks}) * 4.0, 1.0) * 0.3, 9) AS quality
+FROM documents
+"""
+
+
+def _lang_oracle_sql() -> str:
+    from pbf2json_spark.operators.textops import LANG_MARKERS
+    toks = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+    cnt = {lang: f"len(list_filter({toks}, t -> t IN ({', '.join(chr(39)+w+chr(39) for w in words)})))"
+           for lang, words in LANG_MARKERS.items()}
+    return f"""
+SELECT doc_id,
+       CASE WHEN {cnt['en']} >= {cnt['es']} AND {cnt['en']} >= {cnt['fr']}
+                 AND {cnt['en']} >= {cnt['de']} THEN 'en'
+            WHEN {cnt['es']} >= {cnt['fr']} AND {cnt['es']} >= {cnt['de']} THEN 'es'
+            WHEN {cnt['fr']} >= {cnt['de']} THEN 'fr'
+            ELSE 'de' END AS pred_lang
+FROM documents
+"""
+
+
+def _haversine_sql(lat1, lon1, lat2, lon2) -> str:
+    return (f"2.0 * 6378137.0 * atan2(sqrt(pow(sin(radians({lat2} - {lat1}) / 2), 2)"
+            f" + cos(radians({lat1})) * cos(radians({lat2}))"
+            f" * pow(sin(radians({lon2} - {lon1}) / 2), 2)),"
+            f" sqrt(1.0 - (pow(sin(radians({lat2} - {lat1}) / 2), 2)"
+            f" + cos(radians({lat1})) * cos(radians({lat2}))"
+            f" * pow(sin(radians({lon2} - {lon1}) / 2), 2))))")
+
+
+def _knn_oracle_sql() -> str:
+    qvals = ", ".join(f"('{q}', {la}, {lo})" for q, la, lo in KNN_QUERIES)
+    hav = _haversine_sql("q.qlat", "q.qlon", "p.lat", "p.lon")
+    return f"""
+WITH pts AS (SELECT c_custkey::VARCHAR AS point_id,
+                    {_LAT_SQL} AS lat, {_LON_SQL} AS lon FROM customer),
+q(query_id, qlat, qlon) AS (VALUES {qvals}),
+scored AS (SELECT q.query_id, p.point_id,
+                  {hav} AS dist_m
+           FROM pts p CROSS JOIN q),
+ranked AS (SELECT query_id, point_id,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY dist_m, point_id) AS rank
+           FROM scored)
+SELECT query_id, point_id, rank::INT AS rank FROM ranked WHERE rank <= {KNN_K}
+"""
+
+
+def _pip_oracle_sql() -> str:
+    parts = []
+    for pid, (la0, la1, lo0, lo1) in RECTS.items():
+        parts.append(f"""
+SELECT '{pid}' AS poly_id, point_id, round(lat, 9) AS lat_r,
+       round(lon, 9) AS lon_r
+FROM pts WHERE lat > {la0} AND lat < {la1} AND lon > {lo0} AND lon < {lo1}""")
+    return (f"WITH pts AS (SELECT c_custkey::VARCHAR AS point_id, "
+            f"{_LAT_SQL} AS lat, {_LON_SQL} AS lon FROM customer)"
+            + " UNION ALL ".join(parts))
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    toks_trim = "regexp_split_to_array(trim(text), '\\s+')"
+    token_re = r"[a-z0-9]+|[^a-z0-9\s]"
+    return {
+        "q_tag_filter_dnf": (
+            "SELECT doc_id, lang, source FROM documents "
+            "WHERE (lang = 'en' AND source = 'src3') OR lang = 'zh'"),
+        "q_order_denorm": ("""
+SELECT o_orderkey, count(*) AS n_items,
+       round(sum(l_quantity), 6) AS sum_qty,
+       string_agg(l_linenumber::VARCHAR, ',' ORDER BY l_linenumber) AS lines
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderkey"""),
+        "q_argmax_pick": ("""
+SELECT o_custkey, o_orderkey, round(o_totalprice, 6) AS top_price FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders) WHERE rn = 1"""),
+        "q_bounds_agg": ("""
+SELECT user_id, round(max(value), 9) AS n, round(min(value), 9) AS s,
+       max(floor(epoch(ts)))::BIGINT AS e, min(floor(epoch(ts)))::BIGINT AS w,
+       count(*) AS n_events
+FROM events GROUP BY user_id"""),
+        "q_priority_pick": ("""
+SELECT user_id, event_id, event_type FROM (
+  SELECT user_id, event_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY
+           (CASE WHEN event_type = 'purchase' THEN 2
+                 WHEN event_type = 'click' THEN 1 ELSE 0 END) DESC,
+           ts, event_id) AS rn
+  FROM events) WHERE rn = 1"""),
+        "q_semi_join_closure": ("""
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice > 100000)"""),
+        "q_exact_dedup": ("""
+SELECT md5(text) AS text_md5, min(doc_id) AS rep_doc_id,
+       count(*) AS n_dups
+FROM documents GROUP BY md5(text)"""),
+        "q_token_count": (f"""
+SELECT doc_id, len({toks_trim}) AS n_ws_tokens,
+       len(regexp_extract_all(lower(text), '{token_re}')) AS n_re_tokens
+FROM documents"""),
+        "q_quality_score": _quality_oracle_sql(),
+        "q_lang_id": _lang_oracle_sql(),
+        "q_fingerprint": ("""
+SELECT doc_id,
+       ('0x' || substr(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')),
+        1, 15))::BIGINT AS fp
+FROM documents"""),
+        "q_minhash_lsh": _minhash_oracle_sql(),
+        "q_ngram_jaccard": _ngram_jaccard_oracle_sql(),
+        "q_ann_cosine_topk": ("""
+WITH q AS (SELECT vec_id::VARCHAR AS query_id, embedding AS qe
+           FROM embeddings WHERE vec_id < 20),
+scored AS (SELECT q.query_id, e.vec_id,
+                  list_cosine_similarity(e.embedding::DOUBLE[],
+                                         q.qe::DOUBLE[]) AS cos
+           FROM embeddings e CROSS JOIN q),
+ranked AS (SELECT query_id, vec_id, cos,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY round(cos, 9) DESC, vec_id) AS rank
+           FROM scored)
+SELECT query_id, vec_id, rank::INT AS rank, round(cos, 6) AS cos_r
+FROM ranked WHERE rank <= 10"""),
+        "q_embedding_near_dup": ("""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                    b.embedding::DOUBLE[]), 9) AS cos
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                   b.embedding::DOUBLE[]), 9) >= 0.8"""),
+        "q_pip_rect": _pip_oracle_sql(),
+        "q_knn_geo": _knn_oracle_sql(),
+        # q_simhash_pairs / q_ann_lsh_topk / q_tile_assignment /
+        # q_osm_pipeline: intentionally no oracle (non-SQL-expressible:
+        # pandas-UDF signatures / binary decoding / the OSM parity
+        # pipeline, which pytest checks against its pure-Python oracle).
+    }

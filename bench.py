@@ -1,0 +1,122 @@
+#!/usr/bin/env python3
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] (default 32).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>, ...extras}
+
+The headline suite is the BASELINE.json metric surface: spatial join
+(PIP) + kNN + raster tile assignment over the synthetic images table
+(size scales with sf), plus the engine's dedup/similarity/denorm
+queries over the driver tables.  Image synthesis is excluded from the
+timed value (it is input preparation, not query work) but reported.
+
+Scaling evidence (local[8] vs local[32]) is produced by
+BENCH/scaling.py, which shells out to this script.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = 0.1
+    n_images = int(os.environ.get("SPARK_GRAFT_N_IMAGES", str(int(sf * 1_000_000))))
+    n_images = max(n_images, 1000)
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from pbf2json_spark.operators.spatial import (attach_geo, knn,
+                                                  point_in_polygon,
+                                                  tile_assignment)
+    from pbf2json_spark.plans.session import build_session
+    from pbf2json_spark.sources.synth import (images_df, knn_queries_df,
+                                              polygons_df)
+    import __spark_entry__ as entry
+
+    spark = build_session(app_name=f"bench-local[{cpus}]", cores=cpus,
+                          shuffle_partitions=max(2 * cpus, 16))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    extras: dict = {"cpus": cpus, "n_images": n_images}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    # ---- input prep (not part of the timed value) ----
+    img_path = f"/tmp/bench_images_{n_images}"
+    t0 = time.perf_counter()
+    if not os.path.exists(img_path):
+        tmp = img_path + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        images_df(spark, n_images, partitions=4 * cpus) \
+            .write.mode("overwrite").parquet(tmp)
+        os.rename(tmp, img_path)
+    gen_sec = round(time.perf_counter() - t0, 3)
+    extras["gen_images_sec"] = gen_sec
+
+    images = spark.read.parquet(img_path)
+
+    # ---- headline spatial suite ----
+    geo = timed("attach_geo", lambda: _materialize(
+        attach_geo(images, res_list=(9, 12))))
+
+    polys = polygons_df(spark, 64)
+    pip_rows = timed("pip", lambda: point_in_polygon(
+        geo, polys, res=9).count())
+    extras["pip_pairs"] = pip_rows
+
+    queries = knn_queries_df(spark, 200, k=10)
+    knn_rows = timed("knn", lambda: knn(
+        geo, queries, k=10, res=12, initial_ring=2).count())
+    extras["knn_rows"] = knn_rows
+
+    tile_rows = timed("tile_assignment", lambda: tile_assignment(
+        geo, grid=4, res=12).count())
+    extras["tile_cells"] = tile_rows
+
+    # ---- engine queries over the driver tables ----
+    for name in ("q_order_denorm", "q_argmax_pick", "q_minhash_lsh",
+                 "q_ann_cosine_topk", "q_token_count", "q_exact_dedup"):
+        fn = entry.queries()[name]
+        timed(name, lambda fn=fn: fn(spark, sf_dir).count())
+
+    geo.unpersist()
+    spatial_sec = timings["pip"] + timings["knn"] + timings["tile_assignment"]
+    extras["spatial_rows_per_sec"] = round(
+        n_images * 3 / spatial_sec) if spatial_sec > 0 else None
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "pip+knn+tile suite + engine queries, total wall seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        **extras,
+    }))
+    spark.stop()
+
+
+def _materialize(df):
+    df = df.persist()
+    df.count()
+    return df
+
+
+if __name__ == "__main__":
+    main()

@@ -79,12 +79,20 @@ def attach_geo(images: DataFrame, res_list=(DEFAULT_RES,)) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def point_in_polygon(points: DataFrame, polygons: DataFrame,
-                     res: int = DEFAULT_RES, salt_buckets: int = 16,
+                     res: int = DEFAULT_RES,
                      point_id: str = "image_id") -> DataFrame:
     """(poly_id, <point_id>, lat, lon) for every point inside a polygon.
 
     points must carry (point_id, lat, lon, cell_r{res}); polygons is the
-    small dim table (poly_id, ring_lats, ring_lons, ...)."""
+    small dim table (poly_id, ring_lats, ring_lons, ...).
+
+    Plan shape: the polygon coverings are a broadcast (cell -> poly_id)
+    table; the candidate join is a cell-equi BroadcastHashJoin; the exact
+    ray-cast refine is a SHUFFLE-FREE mapInPandas over the join output —
+    inside each Arrow batch candidates are grouped by polygon and ray-cast
+    vectorized.  Skewed hot cells are AQE's problem at the join, and the
+    refine parallelism follows the candidate partitioning, so a hot
+    polygon never pins a single task."""
     polys = polygons.select("poly_id", "ring_lats", "ring_lons").toPandas()
 
     # covering cells per polygon, vectorized numpy, broadcast to executors
@@ -99,16 +107,12 @@ def point_in_polygon(points: DataFrame, polygons: DataFrame,
     spark = points.sparkSession
     cover = spark.createDataFrame(
         pd.DataFrame(cover_rows, columns=["cell", "poly_id"]),
-        schema=f"cell long, poly_id string")
+        schema="cell long, poly_id string")
 
     cand = points.select(
         F.col(point_id), "lat", "lon",
         F.col(f"cell_r{res}").alias("cell"),
     ).join(F.broadcast(cover), "cell").drop("cell")
-
-    # salted exact refine: (poly_id, salt) groups keep hot polygons split
-    cand = cand.withColumn(
-        "salt", F.pmod(F.xxhash64(point_id), F.lit(salt_buckets)))
 
     out_schema = T.StructType([
         T.StructField("poly_id", T.StringType()),
@@ -117,16 +121,22 @@ def point_in_polygon(points: DataFrame, polygons: DataFrame,
         T.StructField("lon", T.DoubleType()),
     ])
 
-    def refine(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        rla, rlo = rings[key[0]]
-        inside = gk.raycast_contains(rla, rlo,
-                                     pdf["lat"].to_numpy(),
-                                     pdf["lon"].to_numpy())
-        r = pdf.loc[inside, [point_id, "lat", "lon"]].copy()
-        r.insert(0, "poly_id", key[0])
-        return r
+    def refine(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            lats = pdf["lat"].to_numpy()
+            lons = pdf["lon"].to_numpy()
+            keep = np.zeros(len(pdf), dtype=bool)
+            codes, uniq = pd.factorize(pdf["poly_id"])
+            for gi, pid in enumerate(uniq):
+                idx = np.nonzero(codes == gi)[0]
+                rla, rlo = rings[pid]
+                keep[idx] = gk.raycast_contains(rla, rlo, lats[idx], lons[idx])
+            out = pdf.loc[keep, ["poly_id", point_id, "lat", "lon"]]
+            yield out
 
-    return cand.groupBy("poly_id", "salt").applyInPandas(refine, out_schema)
+    return cand.mapInPandas(refine, out_schema)
 
 
 # ---------------------------------------------------------------------------
@@ -143,88 +153,114 @@ def _haversine_col(lat1, lon1, lat2, lon2):
     return 2.0 * gk.EARTH_RADIUS_M * F.atan2(F.sqrt(a), F.sqrt(1.0 - a))
 
 
-def _disk_cells_udf(res: int):
-    @F.pandas_udf(T.ArrayType(T.LongType()))
-    def disk_cells(lat: pd.Series, lon: pd.Series, ring: pd.Series) -> pd.Series:
-        la = lat.to_numpy(dtype=np.float64)
-        lo = lon.to_numpy(dtype=np.float64)
-        out = []
+def _query_disk_pdf(remaining: pd.DataFrame, res: int,
+                    rings: np.ndarray) -> pd.DataFrame:
+    """Driver-side (numpy) expansion of each query's k-disk + exit bound
+    with a PER-QUERY ring size: queries are the small dim side, so no
+    Spark UDF round-trips."""
+    frames = []
+    for ring in np.unique(rings):
+        sub = remaining[rings == ring]
+        la = sub["lat"].to_numpy(dtype=np.float64)
+        lo = sub["lon"].to_numpy(dtype=np.float64)
         cells = cx.cell_id(la, lo, res)
-        for i in range(len(la)):
-            d = cx.disk(cells[i:i + 1], int(ring.iloc[i]))[0]
-            out.append([c for c in d.tolist() if c >= 0])
-        return pd.Series(out)
+        disks = cx.disk(cells, int(ring))            # (n, m), -1 padded
+        exit_m = cx.disk_exit_distance_m(la, lo, res, int(ring))
+        n, m = disks.shape
+        rep = np.repeat(np.arange(n), m)
+        flat = disks.reshape(-1)
+        keep = flat >= 0
+        frames.append(pd.DataFrame({
+            "query_id": sub["query_id"].to_numpy()[rep[keep]],
+            "lat": la[rep[keep]],
+            "lon": lo[rep[keep]],
+            "exit_m": exit_m[rep[keep]],
+            "cell": flat[keep],
+        }))
+    return pd.concat(frames, ignore_index=True)
 
-    return disk_cells
 
-
-def _exit_dist_udf(res: int):
-    @F.pandas_udf(T.DoubleType())
-    def exit_dist(lat: pd.Series, lon: pd.Series, ring: pd.Series) -> pd.Series:
-        la = lat.to_numpy(dtype=np.float64)
-        lo = lon.to_numpy(dtype=np.float64)
-        k = ring.to_numpy(dtype=np.int64)
-        out = np.empty(len(la))
-        for kk in np.unique(k):
-            m = k == kk
-            out[m] = cx.disk_exit_distance_m(la[m], lo[m], res, int(kk))
-        return pd.Series(out)
-
-    return exit_dist
+MAX_RING = 64  # disks beyond this are worse than the brute-force tail
 
 
 def knn(points: DataFrame, queries: DataFrame, k: int,
-        res: int = KNN_RES, initial_ring: int = 1, max_rounds: int = 5,
+        res: int = KNN_RES, initial_ring: int = 1, max_rounds: int = 3,
         point_id: str = "image_id") -> DataFrame:
     """Top-k nearest points per query with exact-termination guarantee.
 
     points: (point_id, lat, lon, cell_r{res}); queries: (query_id, lat,
-    lon).  Returns (query_id, <point_id>, dist_m, rank).  The per-round
-    candidate join is cell-equi (broadcast of the exploded query disks);
-    re-rank is a window over haversine.  Queries whose kth candidate is
-    not provably within the disk escalate ring x2; after max_rounds the
-    stragglers (typically a handful in empty oceans) are brute-forced."""
+    lon).  Returns (query_id, <point_id>, dist_m, rank).
+
+    Round 1 probes every query's initial disk (cell-equi join against a
+    broadcast of the exploded disks, expanded driver-side — the query
+    side is a dim table); re-rank is a window over a JVM-side haversine.
+    A query terminates when its kth distance <= its conservative disk-
+    exit bound.  Escalation is DENSITY-AWARE: the next ring is sized
+    from the candidate count the query actually observed
+    (ring * sqrt(k/found)), queries that saw nothing — or would need a
+    ring beyond MAX_RING — skip straight to the brute-force tail, which
+    is proportionally cheap exactly when the cell index is useless
+    (sparse regions)."""
     pts = points.select(
         F.col(point_id), F.col("lat").alias("p_lat"),
         F.col("lon").alias("p_lon"), F.col(f"cell_r{res}").alias("cell"))
     pts = pts.persist()
 
-    disk_udf = _disk_cells_udf(res)
-    exit_udf = _exit_dist_udf(res)
-
     remaining = queries.select("query_id", "lat", "lon").toPandas()
     spark = points.sparkSession
     results = []
-    ring = initial_ring
+    brute = []
+    rings = np.full(len(remaining), initial_ring, dtype=np.int64)
     for _round in range(max_rounds):
         if remaining.empty:
             break
-        qdf = spark.createDataFrame(remaining, schema="query_id string, lat double, lon double")
-        qcells = qdf.withColumn("ring", F.lit(ring)) \
-                    .withColumn("exit_m", exit_udf("lat", "lon", "ring")) \
-                    .withColumn("cell", F.explode(disk_udf("lat", "lon", "ring")))
+        qcells = spark.createDataFrame(
+            _query_disk_pdf(remaining, res, rings),
+            schema="query_id string, lat double, lon double, "
+                   "exit_m double, cell long")
         cand = pts.join(F.broadcast(qcells), "cell")
         cand = cand.withColumn(
             "dist_m", _haversine_col(F.col("lat"), F.col("lon"),
                                      F.col("p_lat"), F.col("p_lon")))
         win = Window.partitionBy("query_id").orderBy("dist_m", point_id)
-        top = (cand.withColumn("rank", F.row_number().over(win))
-                   .filter(F.col("rank") <= k)
-                   .select("query_id", point_id, "dist_m", "rank", "exit_m"))
+        top = (cand
+               .withColumn("found", F.count("*").over(
+                   Window.partitionBy("query_id")))
+               .withColumn("rank", F.row_number().over(win))
+               .filter(F.col("rank") <= k)
+               .select("query_id", point_id, "dist_m", "rank",
+                       "exit_m", "found"))
         tp = top.toPandas()
         if not tp.empty:
-            done_mask = (tp.groupby("query_id")
-                           .agg(n=("rank", "size"), worst=("dist_m", "max"),
-                                exit_m=("exit_m", "first")))
-            done_ids = set(done_mask[(done_mask["n"] >= k)
-                                     & (done_mask["worst"] <= done_mask["exit_m"])].index)
+            stat = (tp.groupby("query_id")
+                      .agg(n=("rank", "size"), worst=("dist_m", "max"),
+                           exit_m=("exit_m", "first"),
+                           found=("found", "first")))
+            done_ids = set(stat[(stat["n"] >= k)
+                                & (stat["worst"] <= stat["exit_m"])].index)
+            found_map = stat["found"].to_dict()
         else:
-            done_ids = set()
+            done_ids, found_map = set(), {}
         results.append(tp[tp["query_id"].isin(done_ids)][
             ["query_id", point_id, "dist_m", "rank"]])
-        remaining = remaining[~remaining["query_id"].isin(done_ids)]
-        ring *= 2
+        keep_mask = ~remaining["query_id"].isin(done_ids).to_numpy()
+        remaining = remaining[keep_mask]
+        rings = rings[keep_mask]
+        if remaining.empty:
+            break
+        # density-aware escalation from the observed candidate counts
+        found = remaining["query_id"].map(found_map).fillna(0).to_numpy()
+        grow = np.where(found > 0,
+                        np.ceil(rings * np.sqrt(k / np.maximum(found, 1)))
+                        + rings + 1,
+                        MAX_RING + 1).astype(np.int64)
+        to_brute = grow > MAX_RING
+        brute.append(remaining[to_brute])
+        remaining = remaining[~to_brute]
+        rings = grow[~to_brute]
 
+    brute.append(remaining)
+    remaining = pd.concat(brute, ignore_index=True)
     if not remaining.empty:  # brute force the stragglers (cross join is
         # tiny: |remaining| x |points| only for queries in empty regions)
         qdf = spark.createDataFrame(remaining, schema="query_id string, lat double, lon double")

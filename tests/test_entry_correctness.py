@@ -1,0 +1,75 @@
+"""Local twin of the driver's correctness gate: every queries() entry
+with an oracle_sql() runs on sf0.01 via Spark AND DuckDB; rows must
+match order-insensitively, column-for-column (the driver value-hashes,
+so we assert exact equality)."""
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+ORACLES = entry.oracle_sql()
+QUERIES = entry.queries()
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con
+
+
+def normalize(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                v = float(f"{v:.9g}") if not math.isnan(v) else "nan"
+            vals.append(v)
+        out.append(tuple(vals))
+    out.sort(key=repr)
+    return [cols[i] for i in order], out
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_vs_oracle(spark, ddb, name):
+    sdf = QUERIES[name](spark, SF_DIR)
+    s_cols = [c.lower() for c in sdf.columns]
+    s_rows = [tuple(r) for r in sdf.collect()]
+
+    res = ddb.sql(ORACLES[name])
+    d_cols = [c.lower() for c in res.columns]
+    d_rows = res.fetchall()
+
+    assert sorted(s_cols) == sorted(d_cols), f"{name} column names differ"
+    sc, sr = normalize(s_cols, s_rows)
+    dc, dr = normalize(d_cols, d_rows)
+    assert len(sr) == len(dr), (
+        f"{name}: row counts differ spark={len(sr)} duckdb={len(dr)}")
+    mismatches = [(a, b) for a, b in zip(sr, dr) if a != b]
+    assert not mismatches, (
+        f"{name}: {len(mismatches)} mismatching rows, first: "
+        f"{mismatches[0]}")
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+def test_oracle_free_queries_run(spark, name):
+    """Rows-only check for non-SQL-expressible ops (driver's weak path)."""
+    df = QUERIES[name](spark, SF_DIR)
+    assert df.count() >= 0
+    assert len(df.schema) > 0
+
+
+def test_entry_smoke(spark):
+    df = entry.entry(spark)
+    assert df.count() > 0
