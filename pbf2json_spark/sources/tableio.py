@@ -1,0 +1,105 @@
+"""TableIO — the storage seam (SURVEY.md §7).
+
+The north rule stores tables in Iceberg; this container has no Iceberg
+runtime jar, so TableIO abstracts the two backends behind one surface:
+
+- ``iceberg`` backend when a Spark catalog with Iceberg support is
+  configured (probed at runtime, used transparently on a real cluster);
+- ``parquet-dir`` fallback with an identical logical layout plus a
+  ``_manifest.json`` carrying what Iceberg's snapshot metadata would:
+  schema, row count, per-partition lineage (partition id -> row count),
+  and the content key used for idempotent stage resume.
+
+Every write records per-partition row counts — the "per-partition
+lineage + metrics" the north rule requires each stage to checkpoint.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class TableIO:
+    def __init__(self, root: str, catalog: str | None = None):
+        self.root = root
+        self.catalog = catalog  # Iceberg catalog name when available
+        os.makedirs(root, exist_ok=True)
+
+    # -- backend probe ----------------------------------------------------
+    def _iceberg_available(self, spark: SparkSession) -> bool:
+        if not self.catalog:
+            return False
+        try:
+            spark.sql(f"SHOW NAMESPACES IN {self.catalog}")
+            return True
+        except Exception:
+            return False
+
+    # -- paths ------------------------------------------------------------
+    def _path(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def _manifest_path(self, name: str) -> str:
+        return os.path.join(self._path(name), "_manifest.json")
+
+    # -- public API ---------------------------------------------------------
+    def exists(self, name: str) -> bool:
+        return os.path.exists(self._manifest_path(name))
+
+    def manifest(self, name: str) -> dict:
+        with open(self._manifest_path(name)) as f:
+            return json.load(f)
+
+    def write(self, df: DataFrame, name: str, content_key: str = "",
+              partition_by: list[str] | None = None) -> dict:
+        """Write a table + manifest (atomic via tmp-dir rename).  Returns
+        the manifest (incl. per-partition lineage)."""
+        spark = df.sparkSession
+        if self._iceberg_available(spark):
+            full = f"{self.catalog}.{name}"
+            w = df.writeTo(full)
+            if partition_by:
+                w = w.partitionedBy(*[F.col(c) for c in partition_by])
+            w.createOrReplace()
+            return {"backend": "iceberg", "table": full}
+
+        path = self._path(name)
+        tmp = path + ".__tmp__"
+        shutil.rmtree(tmp, ignore_errors=True)
+        tagged = df.withColumn("_part", F.spark_partition_id())
+        writer = tagged.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(tmp)
+
+        # per-partition lineage from the written data (one extra scan of
+        # the materialized output, not a recompute of the input plan)
+        out = spark.read.parquet(tmp)
+        lineage = {str(r["_part"]): r["count"] for r in
+                   out.groupBy("_part").count().collect()}
+        manifest = {
+            "backend": "parquet-dir",
+            "name": name,
+            "content_key": content_key,
+            "rows": sum(lineage.values()),
+            "partitions": len(lineage),
+            "partition_rows": lineage,
+            "schema": out.drop("_part").schema.jsonValue(),
+            "written_at": time.time(),
+        }
+        with open(os.path.join(tmp, "_manifest.json"), "w") as f:
+            json.dump(manifest, f)
+        shutil.rmtree(path, ignore_errors=True)
+        os.rename(tmp, path)
+        return manifest
+
+    def read(self, spark: SparkSession, name: str) -> DataFrame:
+        if self._iceberg_available(spark):
+            return spark.read.table(f"{self.catalog}.{name}")
+        return spark.read.parquet(self._path(name)).drop("_part")
