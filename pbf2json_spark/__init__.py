@@ -1,0 +1,88 @@
+"""pbf2json_spark — a PySpark-native spatial-join + tiling engine with
+the query capabilities of pelias/pbf2json, re-expressed Spark-first.
+
+Public API (a user of the reference switches to these):
+
+    from pbf2json_spark import Engine
+
+    engine = Engine(spark)                       # or Engine.local(cores=8)
+    nodes = engine.matched_nodes(nodes_df, "building")
+    ways = engine.denormalize_ways(nodes_df, ways_df, "building,shop",
+                                   waynodes=True)
+    rels = engine.denormalize_relations(nodes_df, ways_df, rels_df,
+                                        "boundary~administrative")
+    ndjson = engine.run(nodes_df, ways_df, rels_df, "building")  # gid+json
+
+    geo = engine.attach_geo(images_df, res_list=(9, 12))
+    hits = engine.point_in_polygon(geo, polygons_df)
+    nn = engine.knn(geo, queries_df, k=10)
+    tiles = engine.tile_assignment(geo)
+
+The reference's npm `createReadStream(config)` (index.js:31-82) maps to
+`Engine.run(...)` returning a DataFrame of one JSON line per element —
+the same NDJSON contract, minus the subprocess.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class Engine:
+    """Facade over the operator modules; every method is a thin
+    delegation so power users can import the operators directly."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        from .plans.session import ship_package
+        try:
+            ship_package(spark)
+        except Exception:
+            pass
+
+    @classmethod
+    def local(cls, cores: int = 8, **kw) -> "Engine":
+        from .plans.session import build_session
+        return cls(build_session(cores=cores, **kw))
+
+    # -- reference-parity pipeline -------------------------------------
+    def matched_nodes(self, nodes, tag_spec):
+        from .operators.denormalize import matched_nodes
+        return matched_nodes(nodes, tag_spec)
+
+    def denormalize_ways(self, nodes, ways, tag_spec, waynodes=False,
+                         strict_parity=True):
+        from .operators.denormalize import denormalize_ways
+        return denormalize_ways(nodes, ways, tag_spec, waynodes, strict_parity)
+
+    def denormalize_relations(self, nodes, ways, relations, tag_spec,
+                              strict_parity=True):
+        from .operators.denormalize import denormalize_relations
+        return denormalize_relations(nodes, ways, relations, tag_spec,
+                                     strict_parity)
+
+    def run(self, nodes, ways, relations, tag_spec, waynodes=False,
+            strict_parity=True) -> DataFrame:
+        from .operators.denormalize import run_pipeline
+        return run_pipeline(nodes, ways, relations, tag_spec, waynodes,
+                            strict_parity)
+
+    # -- spatial layer ---------------------------------------------------
+    def attach_geo(self, images, res_list=(9, 12)):
+        from .operators.spatial import attach_geo
+        return attach_geo(images, res_list)
+
+    def point_in_polygon(self, points, polygons, res=9, point_id="image_id"):
+        from .operators.spatial import point_in_polygon
+        return point_in_polygon(points, polygons, res=res, point_id=point_id)
+
+    def knn(self, points, queries, k, res=12, point_id="image_id", **kw):
+        from .operators.spatial import knn
+        return knn(points, queries, k, res=res, point_id=point_id, **kw)
+
+    def tile_assignment(self, images_geo, grid=4, res=12):
+        from .operators.spatial import tile_assignment
+        return tile_assignment(images_geo, grid, res)
+
+
+__all__ = ["Engine"]

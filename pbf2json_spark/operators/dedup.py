@@ -31,7 +31,11 @@ from pyspark.sql import types as T
 # MinHash constants — shared verbatim with the SQL oracle
 MINHASH_PRIME = 1073741789          # ~2^30, keeps a*h+b < 2^63
 MINHASH_K = 16
-MINHASH_BANDS = 8                   # 8 bands x 2 rows
+# 4 bands x 4 rows: candidate probability j^4 per band — the r=2 variant
+# drowned in noise pairs on corpora whose baseline pairwise jaccard is
+# ~0.02 (40k false candidates at 5k docs); r=4 keeps the 50%-detection
+# threshold at (1/4)^(1/4) ~ 0.71, i.e. a true near-dup finder
+MINHASH_BANDS = 4
 MINHASH_ROWS = MINHASH_K // MINHASH_BANDS
 # deterministic (a, b) per permutation: splitmix-ish constants
 MINHASH_A = [(2654435761 * (i + 1)) % MINHASH_PRIME for i in range(MINHASH_K)]

@@ -298,47 +298,63 @@ TILE_SCHEMA = T.StructType([
 DEG_PER_PX = 0.0005
 
 
-def image_blocks(images_geo: DataFrame, grid: int = 4,
+def image_blocks(images: DataFrame, grid: int = 4,
                  res: int = KNN_RES) -> DataFrame:
     """Decode every image, reduce to grid x grid mean-intensity blocks,
-    and assign each block the cell under its footprint center."""
+    and assign each block the cell under its footprint center.
+
+    Accepts either a geo-attached frame (lat/lon columns) or the raw
+    images table — in the latter case the geotag is derived from phash
+    INSIDE the same Arrow pass, so the whole operator is a single
+    Python stage (chaining a geo pandas_udf stage in front doubles the
+    per-slot worker count and the bytes column crosses the channel
+    once more)."""
+    has_geo = "lat" in images.columns
+    cols = ["image_id", "bytes"] + (["lat", "lon"] if has_geo else ["phash"])
+    gg = (grid - 1) / 2.0
+    block_offsets = np.arange(grid) - gg            # per-axis block index offsets
+    gr, gc = np.meshgrid(np.arange(grid), np.arange(grid), indexing="ij")
+    gr, gc = gr.reshape(-1), gc.reshape(-1)
 
     def gen(batches):
         for pdf in batches:
-            ids, cells, rows, cols, vals = [], [], [], [], []
-            for r in pdf.itertuples():
-                px = ic.decode_image(bytes(r.bytes)).astype(np.float64).mean(axis=2)
+            if has_geo:
+                lat = pdf["lat"].to_numpy(np.float64)
+                lon = pdf["lon"].to_numpy(np.float64)
+            else:
+                lat, lon = ic.geotag_from_phash(pdf["phash"].to_numpy(np.int64))
+            n_img = len(pdf)
+            n = grid * grid
+            vals = np.empty((n_img, n))
+            blas = np.empty((n_img, n))
+            blos = np.empty((n_img, n))
+            for i, b in enumerate(pdf["bytes"]):
+                px = ic.decode_image(bytes(b)).astype(np.float64).mean(axis=2)
                 h, w = px.shape
                 bh, bw = max(h // grid, 1), max(w // grid, 1)
                 trimmed = px[:bh * grid, :bw * grid]
-                blocks = trimmed.reshape(grid, bh, grid, bw).mean(axis=(1, 3))
-                # block centers in geo space around the image's geotag
-                dy = (np.arange(grid) - (grid - 1) / 2.0) * bh * DEG_PER_PX
-                dx = (np.arange(grid) - (grid - 1) / 2.0) * bw * DEG_PER_PX
-                bla = r.lat - dy[:, None] + np.zeros((1, grid))
-                blo = r.lon + dx[None, :] + np.zeros((grid, 1))
-                c = cx.cell_id(bla.reshape(-1), blo.reshape(-1), res)
-                n = grid * grid
-                ids.extend([r.image_id] * n)
-                cells.extend(c.tolist())
-                gr, gc = np.meshgrid(np.arange(grid), np.arange(grid), indexing="ij")
-                rows.extend(gr.reshape(-1).tolist())
-                cols.extend(gc.reshape(-1).tolist())
-                vals.extend(blocks.reshape(-1).tolist())
+                vals[i] = trimmed.reshape(grid, bh, grid, bw).mean(axis=(1, 3)).reshape(-1)
+                dy = block_offsets * bh * DEG_PER_PX
+                dx = block_offsets * bw * DEG_PER_PX
+                blas[i] = (lat[i] - dy[:, None] - np.zeros((1, grid))).reshape(-1)
+                blos[i] = (lon[i] + dx[None, :] + np.zeros((grid, 1))).reshape(-1)
+            cells = cx.cell_id(blas.reshape(-1), blos.reshape(-1), res)
             yield pd.DataFrame({
-                "image_id": ids, "cell": cells, "block_row": rows,
-                "block_col": cols, "mean_intensity": vals})
+                "image_id": np.repeat(pdf["image_id"].to_numpy(), n),
+                "cell": cells,
+                "block_row": np.tile(gr, n_img),
+                "block_col": np.tile(gc, n_img),
+                "mean_intensity": vals.reshape(-1)})
 
-    return images_geo.select("image_id", "bytes", "lat", "lon") \
-                     .mapInPandas(gen, TILE_SCHEMA)
+    return images.select(*cols).mapInPandas(gen, TILE_SCHEMA)
 
 
-def tile_assignment(images_geo: DataFrame, grid: int = 4,
+def tile_assignment(images: DataFrame, grid: int = 4,
                     res: int = KNN_RES) -> DataFrame:
     """Aggregate decoded raster blocks per vector cell: (cell, n_blocks,
     n_images, avg_intensity) — partial aggregation is map-side, the
     only shuffle is the final groupBy(cell)."""
-    blocks = image_blocks(images_geo, grid, res)
+    blocks = image_blocks(images, grid, res)
     return (blocks.groupBy("cell")
             .agg(F.count("*").alias("n_blocks"),
                  F.countDistinct("image_id").alias("n_images"),

@@ -39,6 +39,10 @@ def build_session(app_name: str = "pbf2json-spark",
         # Arrow everywhere Python is crossed
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+        # Unix-domain sockets for the JVM<->Python worker channel: on this
+        # sandbox's virtual NIC, TCP loopback throughput to 32 concurrent
+        # workers is erratic (73-330 MB/s); UDS measured ~1.1 GB/s
+        "spark.python.unix.domain.socket.enabled": "true",
         # broadcast threshold: dimension tables (polygons, queries) fly
         "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
         # trimTags can collide keys after whitespace strip; Go map insert
@@ -58,6 +62,35 @@ def build_session(app_name: str = "pbf2json-spark",
     spark = b.getOrCreate()
     ship_package(spark)
     return spark
+
+
+def warm_python_workers(spark: SparkSession, parallelism: int | None = None) -> None:
+    """Pre-fork the Python UDF worker pool.
+
+    The FIRST job that crosses into Python spawns one worker per task
+    slot; on sandboxed filesystems that import storm is dominated by
+    kernel time (observed: ~25 s at 96% sys for 32 slots) and lands
+    inside whatever query runs first.  One trivial pass per eval type
+    (scalar pandas_udf + mapInPandas) moves that cost to session setup;
+    workers are reused afterwards (spark.python.worker.reuse)."""
+    import pandas as pd  # noqa: F401
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    n = parallelism or spark.sparkContext.defaultParallelism
+
+    def _id_map(batches):
+        for pdf in batches:
+            yield pdf
+
+    df = spark.range(n * 2, numPartitions=n * 2)
+    df.mapInPandas(_id_map, "id long").count()
+
+    @F.pandas_udf(T.LongType())
+    def _id_udf(s):
+        return s
+
+    df.select(_id_udf("id")).count()
 
 
 def ship_package(spark: SparkSession) -> None:
