@@ -32,8 +32,12 @@ def main() -> None:
         sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
     except ValueError:
         sf = 0.1
-    n_images = int(os.environ.get("SPARK_GRAFT_N_IMAGES", str(int(sf * 1_000_000))))
+    n_images = int(os.environ.get("SPARK_GRAFT_N_IMAGES", str(int(sf * 300_000))))
     n_images = max(n_images, 1000)
+    # realistic payload sizes (~40-500 KB/image like real photo corpora;
+    # the default tiny test dims would make the suite pure overhead)
+    dims = tuple(int(d) for d in os.environ.get(
+        "SPARK_GRAFT_IMG_DIMS", "64,128,256").split(","))
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from pbf2json_spark.operators.spatial import (attach_geo, knn,
@@ -77,12 +81,12 @@ def main() -> None:
         return out
 
     # ---- input prep (not part of the timed value) ----
-    img_path = f"/tmp/bench_images_{n_images}"
+    img_path = f"/tmp/bench_images_{n_images}_{'x'.join(map(str, dims))}"
     t0 = time.perf_counter()
     if not os.path.exists(img_path):
         tmp = img_path + ".tmp"
         shutil.rmtree(tmp, ignore_errors=True)
-        images_df(spark, n_images, partitions=4 * cpus) \
+        images_df(spark, n_images, partitions=128, dims=dims) \
             .write.mode("overwrite").parquet(tmp)
         os.rename(tmp, img_path)
     gen_sec = round(time.perf_counter() - t0, 3)
@@ -106,15 +110,19 @@ def main() -> None:
         geo_slim, polys, res=9).count())
     extras["pip_pairs"] = pip_rows
 
-    queries = knn_queries_df(spark, 200, k=10)
+    n_queries = int(os.environ.get("SPARK_GRAFT_KNN_QUERIES", "2000"))
+    queries = knn_queries_df(spark, n_queries, k=10)
     knn_rows = timed("knn", lambda: knn(
         geo_slim, queries, k=10, res=12, initial_ring=2).count())
     extras["knn_rows"] = knn_rows
 
-    # tile assignment decodes bytes: single Python stage, geo derived
-    # from phash inside the same Arrow pass
-    tile_rows = timed("tile_assignment", lambda: tile_assignment(
-        images, grid=4, res=12).count())
+    # tile assignment decodes bytes: direct parquet scan in the Python
+    # workers (the bytes column never crosses the JVM<->Python channel,
+    # which anti-scales on this host); equivalence with the DataFrame
+    # path is tested in tests/test_spatial.py
+    from pbf2json_spark.operators.spatial import tile_assignment_direct
+    tile_rows = timed("tile_assignment", lambda: tile_assignment_direct(
+        spark, img_path, grid=4, res=12).count())
     extras["tile_cells"] = tile_rows
 
     # ---- engine queries over the driver tables ----

@@ -29,6 +29,8 @@ Design per operator (all range-like joins reduced to cell equi joins):
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
@@ -210,7 +212,36 @@ def knn(points: DataFrame, queries: DataFrame, k: int,
     spark = points.sparkSession
     results = []
     brute = []
-    rings = np.full(len(remaining), initial_ring, dtype=np.int64)
+
+    # density presizing: when a coarse cell column is available, one
+    # bounded aggregation (<= 2*4^9 cells regardless of corpus size)
+    # sizes every query's ring so round 1 usually terminates — this
+    # replaces blind escalation rounds with one exact-sized probe
+    density_res = 9
+    density_col = f"cell_r{density_res}"
+    if density_col in points.columns and not remaining.empty:
+        counts = points.groupBy(F.col(density_col).alias("c")).count().toPandas()
+        cmap = dict(zip(counts["c"].tolist(), counts["count"].tolist()))
+        qla = remaining["lat"].to_numpy(np.float64)
+        qlo = remaining["lon"].to_numpy(np.float64)
+        qcoarse = cx.cell_id(qla, qlo, density_res)
+        coarse_disks = cx.disk(qcoarse, 1)
+        local = np.array([
+            sum(cmap.get(int(c), 0) for c in row if c >= 0)
+            for row in coarse_disks])
+        # points per res-`res` cell inside the coarse 3x3 neighbourhood
+        per_fine = local / (9 * 4 ** (res - density_res))
+        margin = 4.0
+        with np.errstate(divide="ignore"):
+            need = np.sqrt(margin * k / np.maximum(per_fine, 1e-12))
+        rings = np.clip(np.ceil((need - 1) / 2), initial_ring,
+                        MAX_RING + 1).astype(np.int64)
+        to_brute = (local == 0) | (rings > MAX_RING)
+        brute.append(remaining[to_brute])
+        remaining = remaining[~to_brute]
+        rings = rings[~to_brute]
+    else:
+        rings = np.full(len(remaining), initial_ring, dtype=np.int64)
     for _round in range(max_rounds):
         if remaining.empty:
             break
@@ -329,7 +360,7 @@ def image_blocks(images: DataFrame, grid: int = 4,
             blas = np.empty((n_img, n))
             blos = np.empty((n_img, n))
             for i, b in enumerate(pdf["bytes"]):
-                px = ic.decode_image(bytes(b)).astype(np.float64).mean(axis=2)
+                px = ic.decode_image(bytes(b)).astype(np.float32).mean(axis=2, dtype=np.float32)
                 h, w = px.shape
                 bh, bw = max(h // grid, 1), max(w // grid, 1)
                 trimmed = px[:bh * grid, :bw * grid]
@@ -355,6 +386,70 @@ def tile_assignment(images: DataFrame, grid: int = 4,
     n_images, avg_intensity) — partial aggregation is map-side, the
     only shuffle is the final groupBy(cell)."""
     blocks = image_blocks(images, grid, res)
+    return (blocks.groupBy("cell")
+            .agg(F.count("*").alias("n_blocks"),
+                 F.countDistinct("image_id").alias("n_images"),
+                 F.avg("mean_intensity").alias("avg_intensity")))
+
+
+def image_blocks_direct(spark, parquet_path: str, grid: int = 4,
+                        res: int = KNN_RES) -> DataFrame:
+    """Direct-scan variant of image_blocks for byte-heavy tables: Spark
+    parallelizes over parquet FILES and each Python worker reads its
+    split with pyarrow locally, so the multi-GB bytes column never
+    crosses the JVM<->Python channel (measured here: the channel
+    ANTI-scales — 670 MB/s at 8 workers, 400 MB/s at 32 — while local
+    columnar reads scale with cores).  This is the standard
+    petastorm/DataLoader-style design for binary payload stages at
+    100 TB: move the decoder to the data, ship only the reduced rows."""
+    import glob as _glob
+    files = sorted(_glob.glob(os.path.join(parquet_path, "*.parquet")))
+    if not files:
+        raise ValueError(f"no parquet files under {parquet_path}")
+    files_df = spark.createDataFrame([(f,) for f in files], "path string") \
+                    .repartition(len(files))
+    gg = (grid - 1) / 2.0
+    block_offsets = np.arange(grid) - gg
+    gr, gc = np.meshgrid(np.arange(grid), np.arange(grid), indexing="ij")
+    gr, gc = gr.reshape(-1), gc.reshape(-1)
+
+    def gen(batches):
+        import pyarrow.parquet as pq
+        for pdf in batches:
+            for path in pdf["path"]:
+                pf = pq.ParquetFile(path)
+                for rb in pf.iter_batches(columns=["image_id", "bytes", "phash"],
+                                          batch_size=4096):
+                    sub = rb.to_pandas()
+                    lat, lon = ic.geotag_from_phash(sub["phash"].to_numpy(np.int64))
+                    n_img = len(sub)
+                    n = grid * grid
+                    vals = np.empty((n_img, n))
+                    blas = np.empty((n_img, n))
+                    blos = np.empty((n_img, n))
+                    for i, b in enumerate(sub["bytes"]):
+                        px = ic.decode_image(bytes(b)).astype(np.float32).mean(axis=2, dtype=np.float32)
+                        h, w = px.shape
+                        bh, bw = max(h // grid, 1), max(w // grid, 1)
+                        vals[i] = px[:bh * grid, :bw * grid] \
+                            .reshape(grid, bh, grid, bw).mean(axis=(1, 3)).reshape(-1)
+                        dy = block_offsets * bh * DEG_PER_PX
+                        dx = block_offsets * bw * DEG_PER_PX
+                        blas[i] = (lat[i] - dy[:, None] - np.zeros((1, grid))).reshape(-1)
+                        blos[i] = (lon[i] + dx[None, :] + np.zeros((grid, 1))).reshape(-1)
+                    yield pd.DataFrame({
+                        "image_id": np.repeat(sub["image_id"].to_numpy(), n),
+                        "cell": cx.cell_id(blas.reshape(-1), blos.reshape(-1), res),
+                        "block_row": np.tile(gr, n_img),
+                        "block_col": np.tile(gc, n_img),
+                        "mean_intensity": vals.reshape(-1)})
+
+    return files_df.mapInPandas(gen, TILE_SCHEMA)
+
+
+def tile_assignment_direct(spark, parquet_path: str, grid: int = 4,
+                           res: int = KNN_RES) -> DataFrame:
+    blocks = image_blocks_direct(spark, parquet_path, grid, res)
     return (blocks.groupBy("cell")
             .agg(F.count("*").alias("n_blocks"),
                  F.countDistinct("image_id").alias("n_images"),

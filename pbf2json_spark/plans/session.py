@@ -21,6 +21,13 @@ def build_session(app_name: str = "pbf2json-spark",
     # machine hostname; pin local loopback before the JVM launches (no-op
     # when the user already exported a real address for cluster mode)
     os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
+    # one BLAS thread per Python worker: N workers x default-N BLAS
+    # threads oversubscribes quadratically (measured: 32-proc numpy
+    # decode 2.7x SLOWER than 8-proc until pinned).  Parallelism belongs
+    # to Spark tasks, not to nested BLAS pools.
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS",
+                "MKL_NUM_THREADS", "NUMEXPR_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     b = SparkSession.builder.appName(app_name)
     if cores is not None:
         b = b.master(f"local[{cores}]")

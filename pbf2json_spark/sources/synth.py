@@ -96,11 +96,14 @@ def caption_for(seq: int) -> str:
             f"near {_PLACE[(h >> 6) & 7]} #{seq}")
 
 
-def gen_image_row(seq: int) -> tuple:
-    """One deterministic images row: (image_id, bytes, w, h, fmt, caption, phash)."""
+def gen_image_row(seq: int, dims=None) -> tuple:
+    """One deterministic images row: (image_id, bytes, w, h, fmt, caption,
+    phash).  `dims` overrides the size palette (default {16,32,64} keeps
+    fixtures tiny; benchmarks pass realistic sizes like (64,128,256))."""
+    dims = dims or _DIMS
     h = int(ic.splitmix64(np.uint64(seq)))
-    w_px = _DIMS[h & 3 if (h & 3) < 3 else 0]
-    h_px = _DIMS[(h >> 2) & 3 if ((h >> 2) & 3) < 3 else 1]
+    w_px = dims[h & 3 if (h & 3) < 3 else 0]
+    h_px = dims[(h >> 2) & 3 if ((h >> 2) & 3) < 3 else 1]
     fmt = _FMTS[(h >> 4) % 3]
     px = ic.gen_pixels(seq, w_px, h_px)
     data = ic.encode_image(px, fmt)
@@ -114,7 +117,7 @@ def gen_images_pdf(n: int, start: int = 0) -> pd.DataFrame:
                                        "fmt", "caption", "phash"])
 
 
-def images_df(spark, n: int, partitions: int | None = None):
+def images_df(spark, n: int, partitions: int | None = None, dims=None):
     """Distributed deterministic images table: exactly the hinted shape
     (BASELINE.json:15), generated executor-side via mapInPandas."""
     schema = spark_schemas()["images"]
@@ -123,7 +126,7 @@ def images_df(spark, n: int, partitions: int | None = None):
     def gen(batches):
         for pdf in batches:
             seqs = pdf["id"].to_numpy()
-            rows = [gen_image_row(int(s)) for s in seqs]
+            rows = [gen_image_row(int(s), dims) for s in seqs]
             yield pd.DataFrame(rows, columns=["image_id", "bytes", "w", "h",
                                               "fmt", "caption", "phash"])
 

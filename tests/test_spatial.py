@@ -108,3 +108,17 @@ def test_tile_assignment_matches_pandas(spark, points, points_pdf):
     assert got["n_images"].tolist() == want["n_images"].tolist()
     assert np.allclose(got["avg_intensity"].to_numpy(),
                        want["avg_intensity"].to_numpy())
+
+
+def test_tile_assignment_direct_equals_dataframe_path(spark, tmp_path):
+    from pbf2json_spark.operators.spatial import (tile_assignment,
+                                                  tile_assignment_direct)
+    imgs = synth.images_df(spark, 300, partitions=3)
+    path = str(tmp_path / "imgs")
+    imgs.write.parquet(path)
+    a = tile_assignment(spark.read.parquet(path)).orderBy("cell").toPandas()
+    b = tile_assignment_direct(spark, path).orderBy("cell").toPandas()
+    assert a["cell"].tolist() == b["cell"].tolist()
+    assert a["n_blocks"].tolist() == b["n_blocks"].tolist()
+    assert a["n_images"].tolist() == b["n_images"].tolist()
+    assert np.allclose(a["avg_intensity"], b["avg_intensity"])
