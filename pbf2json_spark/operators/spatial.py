@@ -182,7 +182,71 @@ def _query_disk_pdf(remaining: pd.DataFrame, res: int,
     return pd.concat(frames, ignore_index=True)
 
 
-MAX_RING = 64  # disks beyond this are worse than the brute-force tail
+# disks beyond this go to the brute-force tail instead: the tail is a
+# single vectorized scan (numpy outer-product, measured ~5s for 859
+# queries x 300k points), while giant exploded disks cost more to
+# broadcast+join than they prune.  At high corpus density rings stay
+# tiny and the cap never binds.
+MAX_RING = 16
+
+
+def _brute_force_knn(pts: DataFrame, remaining: pd.DataFrame, k: int,
+                     point_id: str) -> pd.DataFrame:
+    """Exact kNN for queries the cell index can't help (sparse regions):
+    one mapInPandas pass over the points; each partition computes a
+    vectorized haversine matrix against ALL brute queries (chunked) and
+    keeps a running top-k per query, so only partitions x Q x k rows
+    leave the stage — no 'points x queries' shuffle ever materializes."""
+    qla = remaining["lat"].to_numpy(np.float64)
+    qlo = remaining["lon"].to_numpy(np.float64)
+    qids = remaining["query_id"].to_numpy()
+    nq = len(qids)
+    chunk = max(1, 2_000_000 // 10_000)  # query chunk size per batch
+
+    def gen(batches):
+        best_d = np.full((nq, k), np.inf)
+        best_i = np.empty((nq, k), dtype=object)
+        for pdf in batches:
+            pla = pdf["p_lat"].to_numpy(np.float64)
+            plo = pdf["p_lon"].to_numpy(np.float64)
+            ids = pdf[point_id].to_numpy()
+            for q0 in range(0, nq, chunk):
+                q1 = min(q0 + chunk, nq)
+                d = gk.haversine_m(qla[q0:q1, None], qlo[q0:q1, None],
+                                   pla[None, :], plo[None, :])  # (qc, batch)
+                take = min(k, d.shape[1])
+                part = np.argpartition(d, take - 1, axis=1)[:, :take]
+                for j in range(q1 - q0):
+                    cd = np.concatenate([best_d[q0 + j], d[j, part[j]]])
+                    ci = np.concatenate([best_i[q0 + j], ids[part[j]]])
+                    order = np.argsort(cd, kind="stable")[:k]
+                    best_d[q0 + j] = cd[order]
+                    best_i[q0 + j] = ci[order]
+        mask = np.isfinite(best_d)
+        qi, ki = np.nonzero(mask)
+        yield pd.DataFrame({
+            "query_id": qids[qi],
+            point_id: best_i[qi, ki],
+            "dist_m": best_d[qi, ki]})
+
+    partial = pts.mapInPandas(
+        gen, f"query_id string, {point_id} string, dist_m double")
+    win = Window.partitionBy("query_id").orderBy("dist_m", point_id)
+    return (partial.withColumn("rank", F.row_number().over(win))
+            .filter(F.col("rank") <= k)
+            .select("query_id", point_id, "dist_m", "rank")).toPandas()
+
+
+def _exit_per_query(remaining: pd.DataFrame, res: int,
+                    rings: np.ndarray) -> np.ndarray:
+    """Disk-exit bound per query for mixed ring sizes (order-preserving)."""
+    la = remaining["lat"].to_numpy(np.float64)
+    lo = remaining["lon"].to_numpy(np.float64)
+    out = np.empty(len(la))
+    for r in np.unique(rings):
+        m = rings == r
+        out[m] = cx.disk_exit_distance_m(la[m], lo[m], res, int(r))
+    return out
 
 
 def knn(points: DataFrame, queries: DataFrame, k: int,
@@ -245,10 +309,42 @@ def knn(points: DataFrame, queries: DataFrame, k: int,
     for _round in range(max_rounds):
         if remaining.empty:
             break
-        qcells = spark.createDataFrame(
-            _query_disk_pdf(remaining, res, rings),
-            schema="query_id string, lat double, lon double, "
-                   "exit_m double, cell long")
+        est_rows = int(((2 * rings + 1) ** 2).sum())
+        if est_rows <= 200_000:
+            # small expansion: build it driver-side (one createDataFrame)
+            qcells = spark.createDataFrame(
+                _query_disk_pdf(remaining, res, rings),
+                schema="query_id string, lat double, lon double, "
+                       "exit_m double, cell long")
+        else:
+            # large expansion (many queries x big rings): ship the tiny
+            # query table and explode the disks ON EXECUTORS — the
+            # driver must not single-threadedly materialize millions of
+            # candidate cells
+            qbase = remaining.assign(
+                ring=rings, exit_m=_exit_per_query(remaining, res, rings))
+            qdf = spark.createDataFrame(
+                qbase, schema="query_id string, lat double, lon double, "
+                              "ring int, exit_m double")
+
+            @F.pandas_udf(T.ArrayType(T.LongType()))
+            def disk_cells(lat, lon, ring):
+                la = lat.to_numpy(np.float64)
+                lo = lon.to_numpy(np.float64)
+                rg = ring.to_numpy(np.int64)
+                cells = cx.cell_id(la, lo, res)
+                # group rows by ring for vectorized disk expansion
+                result = [None] * len(la)
+                for rr in np.unique(rg):
+                    idx = np.nonzero(rg == rr)[0]
+                    d = cx.disk(cells[idx], int(rr))
+                    for j, row in zip(idx, d):
+                        result[j] = [c for c in row.tolist() if c >= 0]
+                return pd.Series(result)
+
+            qcells = qdf.select(
+                "query_id", "lat", "lon", "exit_m",
+                F.explode(disk_cells("lat", "lon", "ring")).alias("cell"))
         cand = pts.join(F.broadcast(qcells), "cell")
         cand = cand.withColumn(
             "dist_m", _haversine_col(F.col("lat"), F.col("lon"),
@@ -292,18 +388,8 @@ def knn(points: DataFrame, queries: DataFrame, k: int,
 
     brute.append(remaining)
     remaining = pd.concat(brute, ignore_index=True)
-    if not remaining.empty:  # brute force the stragglers (cross join is
-        # tiny: |remaining| x |points| only for queries in empty regions)
-        qdf = spark.createDataFrame(remaining, schema="query_id string, lat double, lon double")
-        cand = pts.crossJoin(F.broadcast(qdf))
-        cand = cand.withColumn(
-            "dist_m", _haversine_col(F.col("lat"), F.col("lon"),
-                                     F.col("p_lat"), F.col("p_lon")))
-        win = Window.partitionBy("query_id").orderBy("dist_m", point_id)
-        tp = (cand.withColumn("rank", F.row_number().over(win))
-                  .filter(F.col("rank") <= k)
-                  .select("query_id", point_id, "dist_m", "rank")).toPandas()
-        results.append(tp)
+    if not remaining.empty:
+        results.append(_brute_force_knn(pts, remaining, k, point_id))
 
     pts.unpersist()
     all_res = pd.concat(results, ignore_index=True) if results else \
