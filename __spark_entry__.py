@@ -187,14 +187,16 @@ def q_ann_cosine_topk(spark, sf_dir):
                       F.round("cos", 6).alias("cos_r"))
 
 
-def q_ann_lsh_topk(spark, sf_dir):  # no SQL oracle: rows-only check
+def q_ann_lsh_topk(spark, sf_dir):
     from pbf2json_spark.operators.similarity import ann_lsh
     _ship(spark)
     emb = _load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").cast("string").alias("query_id"),
         F.col("embedding").alias("q_embedding"))
-    return ann_lsh(emb, queries, k=10, dim=64)
+    res = ann_lsh(emb, queries, k=10, dim=64)
+    return res.select("query_id", "vec_id", "rank",
+                      F.round("cos", 6).alias("cos_r"))
 
 
 def q_embedding_near_dup(spark, sf_dir):
@@ -355,7 +357,7 @@ def _ngram_jaccard_oracle_sql(tau: float = 0.15, bucket: int = 100) -> str:
     sh = (f"list_distinct(list_transform(range(1, greatest(len({toks}) - 2, 1) + 1), "
           f"i -> array_to_string(({toks})[i:i+2], ' ')))")
     return f"""
-WITH base AS (SELECT doc_id, lang, (n_chars / {bucket})::INT AS lb, {sh} AS s
+WITH base AS (SELECT doc_id, lang, floor(n_chars / {bucket})::INT AS lb, {sh} AS s
               FROM documents)
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        round(len(list_intersect(a.s, b.s))::DOUBLE
@@ -364,6 +366,38 @@ FROM base a JOIN base b
   ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
 WHERE round(len(list_intersect(a.s, b.s))::DOUBLE
             / len(list_distinct(a.s || b.s)), 9) >= {tau}
+"""
+
+
+def _simhash_oracle_sql(max_hamming: int = 8) -> str:
+    """SimHash is SQL-expressible since round 2: the token hash is the
+    portable md5-prefix bigint, the 60 per-bit votes are generated
+    terms, and banding/hamming mirror the operator exactly."""
+    from pbf2json_spark.operators.dedup import (SIMHASH_BITS, SIMHASH_CHUNKS,
+                                                SIMHASH_CHUNK_BITS,
+                                                SIMHASH_CHUNK_MASK)
+    toks = ("regexp_split_to_array(trim(regexp_replace(lower(text), "
+            "'\\s+', ' ', 'g')), ' ')")
+    hs = f"list_transform({toks}, t -> ('0x' || substr(md5(t), 1, 15))::BIGINT)"
+    bit_terms = " + ".join(
+        f"(CASE WHEN 2 * list_sum(list_transform(hs, h -> (h >> {j}) & 1)) "
+        f"> len(hs) THEN {1 << j} ELSE 0 END)"
+        for j in range(SIMHASH_BITS))
+    chunk_selects = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {c} AS chunk, "
+        f"(simhash >> {SIMHASH_CHUNK_BITS * c}) & {SIMHASH_CHUNK_MASK} AS val "
+        f"FROM sig"
+        for c in range(SIMHASH_CHUNKS))
+    return f"""
+WITH base AS (SELECT doc_id, {hs} AS hs FROM documents),
+sig AS (SELECT doc_id, ({bit_terms})::BIGINT AS simhash FROM base),
+chunks AS ({chunk_selects}),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                a.simhash AS sa, b.simhash AS sb
+         FROM chunks a JOIN chunks b
+           ON a.chunk = b.chunk AND a.val = b.val AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, bit_count(xor(sa, sb))::INT AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}
 """
 
 
@@ -400,6 +434,50 @@ SELECT doc_id,
             WHEN {cnt['fr']} >= {cnt['de']} THEN 'fr'
             ELSE 'de' END AS pred_lang
 FROM documents
+"""
+
+
+def _ann_lsh_oracle_sql(k: int = 10) -> str:
+    """Sign-LSH buckets as generated SQL: each plane dot is an explicit
+    64-term `+` chain (the identical left-fold order the numpy bucket
+    UDF and the JVM re-rank use), plane coefficients inlined as
+    round-trip float literals."""
+    from pbf2json_spark.operators.similarity import _hyperplanes
+    planes = _hyperplanes(64, 8, 6)
+
+    def dot(col, vec):
+        return " + ".join(f"{col}[{i + 1}] * {v!r}" for i, v in enumerate(vec))
+
+    def bucket(col, t):
+        return " + ".join(
+            f"(CASE WHEN ({dot(col, planes[t, p])}) > 0 THEN {1 << p} ELSE 0 END)"
+            for p in range(planes.shape[1]))
+
+    qb = " UNION ALL ".join(
+        f"SELECT query_id, {t} AS tbl, ({bucket('qe', t)}) AS bucket FROM q"
+        for t in range(planes.shape[0]))
+    eb = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, ({bucket('ee', t)}) AS bucket FROM e"
+        for t in range(planes.shape[0]))
+    return f"""
+WITH q AS (SELECT vec_id::VARCHAR AS query_id, embedding::DOUBLE[] AS qe
+           FROM embeddings WHERE vec_id < 20),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS ee FROM embeddings),
+qb AS ({qb}),
+eb AS ({eb}),
+cand AS (SELECT DISTINCT qb.query_id, eb.vec_id
+         FROM qb JOIN eb ON qb.tbl = eb.tbl AND qb.bucket = eb.bucket),
+scored AS (SELECT c.query_id, c.vec_id,
+                  list_cosine_similarity(e2.embedding::DOUBLE[], q2.qe) AS cos
+           FROM cand c
+           JOIN embeddings e2 ON c.vec_id = e2.vec_id
+           JOIN q q2 ON c.query_id = q2.query_id),
+ranked AS (SELECT query_id, vec_id, cos,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY round(cos, 9) DESC, vec_id) AS rank
+           FROM scored)
+SELECT query_id, vec_id, rank::INT AS rank, round(cos, 6) AS cos_r
+FROM ranked WHERE rank <= {k}
 """
 
 
@@ -494,6 +572,7 @@ SELECT doc_id,
         1, 15))::BIGINT AS fp
 FROM documents"""),
         "q_minhash_lsh": _minhash_oracle_sql(),
+        "q_simhash_pairs": _simhash_oracle_sql(),
         "q_ngram_jaccard": _ngram_jaccard_oracle_sql(),
         "q_ann_cosine_topk": ("""
 WITH q AS (SELECT vec_id::VARCHAR AS query_id, embedding AS qe
@@ -516,10 +595,10 @@ FROM embeddings a JOIN embeddings b
   ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
                                    b.embedding::DOUBLE[]), 9) >= 0.8"""),
+        "q_ann_lsh_topk": _ann_lsh_oracle_sql(),
         "q_pip_rect": _pip_oracle_sql(),
         "q_knn_geo": _knn_oracle_sql(),
-        # q_simhash_pairs / q_ann_lsh_topk / q_tile_assignment /
-        # q_osm_pipeline: intentionally no oracle (non-SQL-expressible:
-        # pandas-UDF signatures / binary decoding / the OSM parity
-        # pipeline, which pytest checks against its pure-Python oracle).
+        # q_tile_assignment: intentionally no oracle (decodes binary
+        # image payloads — not SQL-expressible; pytest pins it against
+        # a pandas twin).
     }

