@@ -190,6 +190,19 @@ def truncate_coords(arr):
     return bits.view(np.float64)
 
 
+def roundtrip7(arr):
+    """FormatFloat(x, 'f', 7, 64) -> ParseFloat round-trip.  The
+    reference never hands raw truncated doubles to the centroid math:
+    cache reads decode to 7-decimal STRINGS (cache.go:46,
+    bytesToLatLon) which computeCentroidAndBounds parses back
+    (pbf2json.go:702-703), so centroids see coords quantized to the
+    nearest 1e-7.  Vectorized via numpy's element-wise formatter."""
+    a = np.ascontiguousarray(np.asarray(arr, dtype=np.float64))
+    if a.size == 0:
+        return a
+    return np.char.mod("%.7f", a).astype(np.float64)
+
+
 def fmt7(x):
     """Go strconv.FormatFloat(f,'f',7,64) equivalent (round-half-even on
     the exact binary value — identical to printf %.7f semantics)."""

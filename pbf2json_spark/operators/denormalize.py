@@ -76,8 +76,12 @@ def make_centroid_bounds_udf(strict_parity: bool = True):
             la = np.asarray(lats.iloc[i], dtype=np.float64)
             lo = np.asarray(lons.iloc[i], dtype=np.float64)
             if strict_parity:
-                la = gk.truncate_coords(la)
-                lo = gk.truncate_coords(lo)
+                # 6-byte truncation THEN the %.7f string round-trip —
+                # the reference's centroid math reads coords back from
+                # the cache as 7-decimal strings (cache.go:46,
+                # pbf2json.go:702-703), not as raw truncated doubles
+                la = gk.roundtrip7(gk.truncate_coords(la))
+                lo = gk.roundtrip7(gk.truncate_coords(lo))
             ent = np.asarray(ents.iloc[i], dtype=np.int64)
             whl = np.asarray(whls.iloc[i], dtype=np.int64)
             out[i, :] = gk.centroid_and_bounds(la, lo, ent, whl)
@@ -127,16 +131,30 @@ def node_store(nodes: DataFrame) -> DataFrame:
 # way point arrays: explode refs -> join node store -> regroup in order
 # ---------------------------------------------------------------------------
 
-def way_point_arrays(ways: DataFrame, store: DataFrame) -> DataFrame:
+def way_point_arrays(ways: DataFrame, store: DataFrame,
+                     salt_hot_refs: int = 0) -> DataFrame:
     """(id, tags, nrefs, npts, lats, lons, ents, whls) — one row per way
     that resolved AT LEAST one node; npts < nrefs marks an incomplete
-    way (J1 dropped downstream; J2 treats it as a failed member)."""
+    way (J1 dropped downstream; J2 treats it as a failed member).
+
+    salt_hot_refs > 0 switches the refs->node-store lookup join to the
+    explicit salted form (plans/salting.py) with that many salts — for
+    corpora where single node ids are referenced by millions of ways
+    (the zipfian city-center case the north rule names) and the store
+    is too large to broadcast.  Default off: AQE's skew split covers
+    the partition-level case and the salting pass adds a hot-key
+    detection job."""
     refs = ways.select(
         "id", "tags",
         F.size("refs").alias("nrefs"),
         F.posexplode("refs").alias("pos", "ref"),
     )
-    joined = refs.join(store, "ref")  # inner: missing nodes simply vanish
+    if salt_hot_refs:
+        from ..plans.salting import salted_equijoin
+        joined = salted_equijoin(refs, store, "ref", n_salts=salt_hot_refs,
+                                 sample_fraction=0.01)
+    else:
+        joined = refs.join(store, "ref")  # inner: missing nodes vanish
     return (
         joined.groupBy("id")
         .agg(

@@ -10,9 +10,11 @@ Design per operator (all range-like joins reduced to cell equi joins):
 - point_in_polygon: polygons are a small dim side -> compute each
   polygon's covering cells driver-side (vectorized numpy) and BROADCAST
   the (cell -> poly) table; points equi-join on their cell id; exact
-  ray-cast refine runs as a salted applyInPandas over (poly_id, salt)
-  groups so one city-center polygon cannot pin a single task (skew
-  handling the north rule demands).
+  ray-cast refine is a shuffle-free mapInPandas that follows the
+  candidate partitioning, so one city-center polygon cannot pin a
+  single task.  Explicit hot-key salting lives in plans/salting.py and
+  applies where a SHUFFLE hash join exists (the denormalize node
+  join); this join is broadcast, so salting has nothing to split here.
 - knn: iterative cell-disk expansion. Round r joins still-unsatisfied
   queries' k-disk cells (exploded, broadcast) against points bucketed at
   the same res, re-ranks by haversine with a JVM-side expression (whole-
@@ -43,6 +45,10 @@ from ..functions import imagecodec as ic
 
 DEFAULT_RES = 9
 KNN_RES = 12
+
+# hard bound on the PIP dim-side geometry (vertices) — beyond this the
+# collected rings stop being a broadcastable dim table
+PIP_MAX_DIM_VERTICES = 5_000_000
 
 
 # ---------------------------------------------------------------------------
@@ -94,7 +100,20 @@ def point_in_polygon(points: DataFrame, polygons: DataFrame,
     inside each Arrow batch candidates are grouped by polygon and ray-cast
     vectorized.  Skewed hot cells are AQE's problem at the join, and the
     refine parallelism follows the candidate partitioning, so a hot
-    polygon never pins a single task."""
+    polygon never pins a single task.
+
+    The polygon side must be a dim table: its geometry is collected and
+    sc.broadcast to the refine workers (shipped once per executor, not
+    per task); a hard vertex-count guard refuses inputs that would turn
+    that broadcast into a driver/executor memory bomb."""
+    n_vertices = polygons.select(
+        F.sum(F.size("ring_lats")).alias("v")).first()["v"] or 0
+    if n_vertices > PIP_MAX_DIM_VERTICES:
+        raise ValueError(
+            f"point_in_polygon: polygon side has {n_vertices} vertices "
+            f"(> {PIP_MAX_DIM_VERTICES}); it is not a broadcastable dim "
+            f"table — split the polygon set or pre-partition both sides "
+            f"by covering cell and refine per partition")
     polys = polygons.select("poly_id", "ring_lats", "ring_lons").toPandas()
 
     # covering cells per polygon, vectorized numpy, broadcast to executors
@@ -110,6 +129,8 @@ def point_in_polygon(points: DataFrame, polygons: DataFrame,
     cover = spark.createDataFrame(
         pd.DataFrame(cover_rows, columns=["cell", "poly_id"]),
         schema="cell long, poly_id string")
+    # ship the ring geometry once per executor, not once per task
+    rings_bc = spark.sparkContext.broadcast(rings)
 
     cand = points.select(
         F.col(point_id), "lat", "lon",
@@ -124,6 +145,7 @@ def point_in_polygon(points: DataFrame, polygons: DataFrame,
     ])
 
     def refine(batches):
+        ring_map = rings_bc.value
         for pdf in batches:
             if pdf.empty:
                 continue
@@ -133,7 +155,7 @@ def point_in_polygon(points: DataFrame, polygons: DataFrame,
             codes, uniq = pd.factorize(pdf["poly_id"])
             for gi, pid in enumerate(uniq):
                 idx = np.nonzero(codes == gi)[0]
-                rla, rlo = rings[pid]
+                rla, rlo = ring_map[pid]
                 keep[idx] = gk.raycast_contains(rla, rlo, lats[idx], lons[idx])
             out = pdf.loc[keep, ["poly_id", point_id, "lat", "lon"]]
             yield out
@@ -494,6 +516,34 @@ def tile_assignment(images: DataFrame, grid: int = 4,
                  F.avg("mean_intensity").alias("avg_intensity")))
 
 
+def _fs_and_path(path: str):
+    """pyarrow filesystem + fs-relative path for any storage scheme
+    (local, s3://, hdfs://, ...)."""
+    import pyarrow.fs as pafs
+    if "://" in path:
+        return pafs.FileSystem.from_uri(path)
+    return pafs.LocalFileSystem(), path
+
+
+def _list_parquet_files(parquet_path: str) -> list:
+    """Recursive parquet listing via pyarrow's filesystem layer — works
+    on object storage and partitioned directory trees, not just a flat
+    local glob."""
+    import pyarrow.fs as pafs
+    fs, base = _fs_and_path(parquet_path)
+    scheme = parquet_path.split("://", 1)[0] + "://" if "://" in parquet_path else ""
+    infos = fs.get_file_info(pafs.FileSelector(base, recursive=True))
+    return sorted(scheme + i.path for i in infos
+                  if i.type == pafs.FileType.File
+                  and i.path.endswith(".parquet"))
+
+
+def _open_parquet(path: str):
+    import pyarrow.parquet as pq
+    fs, p = _fs_and_path(path)
+    return pq.ParquetFile(fs.open_input_file(p))
+
+
 def image_blocks_direct(spark, parquet_path: str, grid: int = 4,
                         res: int = KNN_RES) -> DataFrame:
     """Direct-scan variant of image_blocks for byte-heavy tables: Spark
@@ -504,8 +554,7 @@ def image_blocks_direct(spark, parquet_path: str, grid: int = 4,
     columnar reads scale with cores).  This is the standard
     petastorm/DataLoader-style design for binary payload stages at
     100 TB: move the decoder to the data, ship only the reduced rows."""
-    import glob as _glob
-    files = sorted(_glob.glob(os.path.join(parquet_path, "*.parquet")))
+    files = _list_parquet_files(parquet_path)
     if not files:
         raise ValueError(f"no parquet files under {parquet_path}")
     files_df = spark.createDataFrame([(f,) for f in files], "path string") \
@@ -516,10 +565,9 @@ def image_blocks_direct(spark, parquet_path: str, grid: int = 4,
     gr, gc = gr.reshape(-1), gc.reshape(-1)
 
     def gen(batches):
-        import pyarrow.parquet as pq
         for pdf in batches:
             for path in pdf["path"]:
-                pf = pq.ParquetFile(path)
+                pf = _open_parquet(path)
                 for rb in pf.iter_batches(columns=["image_id", "bytes", "phash"],
                                           batch_size=4096):
                     sub = rb.to_pandas()

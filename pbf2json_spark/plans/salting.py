@@ -1,0 +1,75 @@
+"""Explicit hot-key salting for shuffle hash joins (north rule:
+"salted broadcast-vs-shuffle hash join of member references against a
+distributed node store").
+
+AQE's skew-join split (plans/session.py) repairs skew at SORT-MERGE
+join time by splitting oversized partitions, but it cannot help when
+(a) the join must be a shuffled hash join (build side too big to
+broadcast, sort undesirable), or (b) a single KEY — not just a
+partition — is hot: every probe row for that key still lands on one
+task.  Explicit salting fixes the single-hot-key case:
+
+- probe rows for hot keys get a salt in [0, n_salts) (uniform,
+  derived from a per-row id — no RNG, re-runs are deterministic);
+- build rows for hot keys are replicated across ALL salts;
+- the join key becomes (key, salt), spreading each hot key over
+  n_salts tasks at the cost of replicating only the HOT build rows.
+
+Cold keys keep salt 0 on both sides, so the replication factor is
+bounded by |hot| * n_salts, not |build| * n_salts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SALT_COL = "__salt"
+HOT_COL = "__hot"
+
+
+def hot_keys(df: DataFrame, key: str, threshold: int,
+             sample_fraction: float | None = None) -> DataFrame:
+    """Keys whose probe-side row count exceeds `threshold`.  At scale
+    pass a sample_fraction: the count runs on the sample and the
+    threshold is scaled down accordingly (an over-approximation of the
+    hot set only costs a little extra build replication)."""
+    src = df
+    eff = threshold
+    if sample_fraction and sample_fraction < 1.0:
+        src = df.sample(fraction=sample_fraction, seed=7)
+        eff = max(1, int(threshold * sample_fraction))
+    return (src.groupBy(key).count()
+            .filter(F.col("count") >= eff)
+            .select(key))
+
+
+def salted_equijoin(probe: DataFrame, build: DataFrame, key: str,
+                    n_salts: int = 16,
+                    hot: DataFrame | None = None,
+                    hot_threshold: int = 50_000,
+                    sample_fraction: float | None = None,
+                    how: str = "inner") -> DataFrame:
+    """Equi-join `probe` with `build` on `key` with the hot keys salted
+    across `n_salts` sub-keys.  Column sets (minus `key`) must be
+    disjoint.  Output columns = probe columns + build columns (key
+    once), exactly like probe.join(build, key, how)."""
+    if hot is None:
+        hot = hot_keys(probe, key, hot_threshold, sample_fraction)
+    hot_marked = F.broadcast(hot.select(key).distinct()
+                             .withColumn(HOT_COL, F.lit(True)))
+
+    p = probe.join(hot_marked, key, "left").withColumn(
+        SALT_COL,
+        F.when(F.col(HOT_COL).isNotNull(),
+               F.pmod(F.monotonically_increasing_id(), F.lit(n_salts))
+                .cast("int"))
+         .otherwise(F.lit(0))).drop(HOT_COL)
+
+    b = build.join(hot_marked, key, "left").withColumn(
+        SALT_COL,
+        F.explode(F.when(F.col(HOT_COL).isNotNull(),
+                         F.sequence(F.lit(0), F.lit(n_salts - 1)))
+                   .otherwise(F.array(F.lit(0))))).drop(HOT_COL)
+
+    return p.join(b, [key, SALT_COL], how).drop(SALT_COL)

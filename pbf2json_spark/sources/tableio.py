@@ -48,26 +48,67 @@ class TableIO:
     def _manifest_path(self, name: str) -> str:
         return os.path.join(self._path(name), "_manifest.json")
 
+    def _sidecar_path(self, name: str) -> str:
+        """Manifest location for the Iceberg backend: a sidecar JSON
+        keyed by table name (the same content also lands in the table's
+        TBLPROPERTIES so cluster-side readers without this filesystem
+        can recover it)."""
+        return os.path.join(self.root, f"{name}.__iceberg_manifest__.json")
+
     # -- public API ---------------------------------------------------------
     def exists(self, name: str) -> bool:
-        return os.path.exists(self._manifest_path(name))
+        return (os.path.exists(self._manifest_path(name))
+                or os.path.exists(self._sidecar_path(name)))
 
     def manifest(self, name: str) -> dict:
-        with open(self._manifest_path(name)) as f:
-            return json.load(f)
+        for p in (self._manifest_path(name), self._sidecar_path(name)):
+            if os.path.exists(p):
+                with open(p) as f:
+                    return json.load(f)
+        raise FileNotFoundError(f"no manifest for table {name!r}")
+
+    def _lineage(self, out: DataFrame) -> dict:
+        return {str(r["_part"]): r["count"] for r in
+                out.groupBy("_part").count().collect()}
 
     def write(self, df: DataFrame, name: str, content_key: str = "",
               partition_by: list[str] | None = None) -> dict:
         """Write a table + manifest (atomic via tmp-dir rename).  Returns
-        the manifest (incl. per-partition lineage)."""
+        the manifest (incl. per-partition lineage).  Both backends
+        persist content_key + per-partition lineage, so CheckpointRunner
+        resumes identically whichever storage is active."""
         spark = df.sparkSession
         if self._iceberg_available(spark):
             full = f"{self.catalog}.{name}"
-            w = df.writeTo(full)
+            tagged = df.withColumn("_part", F.spark_partition_id())
+            w = tagged.writeTo(full)
             if partition_by:
                 w = w.partitionedBy(*[F.col(c) for c in partition_by])
             w.createOrReplace()
-            return {"backend": "iceberg", "table": full}
+            out = spark.read.table(full)
+            lineage = self._lineage(out)
+            manifest = {
+                "backend": "iceberg",
+                "table": full,
+                "name": name,
+                "content_key": content_key,
+                "rows": sum(lineage.values()),
+                "partitions": len(lineage),
+                "partition_rows": lineage,
+                "schema": out.drop("_part").schema.jsonValue(),
+                "written_at": time.time(),
+            }
+            blob = json.dumps(manifest).replace("'", "''")
+            try:
+                spark.sql(f"ALTER TABLE {full} SET TBLPROPERTIES "
+                          f"('pbf2json.manifest' = '{blob}')")
+            except Exception:
+                pass  # property support varies by catalog; sidecar rules
+            tmp = self._sidecar_path(name) + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(manifest, f)
+            os.rename(tmp, self._sidecar_path(name))
+            return manifest
 
         path = self._path(name)
         tmp = path + ".__tmp__"
@@ -81,8 +122,7 @@ class TableIO:
         # per-partition lineage from the written data (one extra scan of
         # the materialized output, not a recompute of the input plan)
         out = spark.read.parquet(tmp)
-        lineage = {str(r["_part"]): r["count"] for r in
-                   out.groupBy("_part").count().collect()}
+        lineage = self._lineage(out)
         manifest = {
             "backend": "parquet-dir",
             "name": name,
@@ -101,5 +141,5 @@ class TableIO:
 
     def read(self, spark: SparkSession, name: str) -> DataFrame:
         if self._iceberg_available(spark):
-            return spark.read.table(f"{self.catalog}.{name}")
+            return spark.read.table(f"{self.catalog}.{name}").drop("_part")
         return spark.read.parquet(self._path(name)).drop("_part")

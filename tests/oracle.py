@@ -18,8 +18,11 @@ def _trim(tags):
 def _store_node(lat, lon, tags):
     """The LevelDB record (pbf2json.go:525-549): truncated coords + flag
     codes; ent == -1 means no flag byte."""
-    tla = float(gk.truncate_coords(np.array([lat]))[0])
-    tlo = float(gk.truncate_coords(np.array([lon]))[0])
+    # truncate + %.7f round-trip: every cache read decodes to 7-decimal
+    # strings that downstream math parses back (cache.go:46,
+    # pbf2json.go:702-703)
+    tla = float(gk.roundtrip7(gk.truncate_coords(np.array([lat])))[0])
+    tlo = float(gk.roundtrip7(gk.truncate_coords(np.array([lon])))[0])
     ent = gk.entrance_class(tags.get("entrance"))
     if ent == 0:
         return (tla, tlo, -1, -1)
