@@ -262,13 +262,164 @@ def q_tile_assignment(spark, sf_dir):  # no SQL oracle (decodes binaries)
     return tile_assignment(geo, grid=4, res=12)
 
 
-def q_osm_pipeline(spark, sf_dir):  # no SQL oracle (pytest parity suite)
-    from pbf2json_spark.operators.denormalize import run_pipeline
-    from pbf2json_spark.sources.synth import osm_tables_df
+# --- OSM pipeline over driver-derived tables -------------------------------
+# Coordinates live on a 1/128-degree grid: m/128 is a dyadic rational
+# whose low 32+ mantissa bits are zero (the reference's 6-byte
+# truncation is a NO-OP) and whose decimal expansion terminates at
+# exactly 7 digits (%.7f formatting is EXACT, no rounding-mode
+# divergence between Java format_string and C printf).  That makes the
+# full denormalization — join, completeness drop, truncate-on-first-
+# miss, argmax-by-bbox-area, bounds formatting — bit-reproducible in
+# DuckDB, so the flagship pipeline carries a value-level oracle.
+# Centroid math stays pytest-pinned (tests/test_denormalize.py vs the
+# pure-python oracle); it is the one non-SQL-expressible piece.
+
+OSM_MISS = 10_000_000_000  # refs >= this never resolve
+
+
+def _osm_driver_tables(spark, sf_dir):
+    """(nodes, ways, relations) derived deterministically from the
+    customer/orders/part parquet tables with md5-based hashing — the
+    identical derivation exists in _osm_oracle_sql()."""
+    from pyspark.sql import Window
+    cust = _load(spark, sf_dir, "customer")
+    orders = _load(spark, sf_dir, "orders")
+    part = _load(spark, sf_dir, "part")
+
+    def H(c, salt):
+        return F.conv(F.substring(F.md5(
+            F.concat(c.cast("string"), F.lit(salt))), 1, 15), 16, 10) \
+                .cast("bigint")
+
+    ck = F.col("c_custkey").cast("long")
+    m = ck % 100
+    ent = F.element_at(
+        F.array(F.lit("main"), F.lit("yes"), F.lit("home"),
+                F.lit("staircase")), (ck % 4 + 1).cast("int"))
+    empty = F.create_map().cast("map<string,string>")
+    nodes = cust.select(
+        ck.alias("id"),
+        ((H(ck, ":nlat") % 23041 - 11520) / 128.0).alias("lat"),
+        ((H(ck, ":nlon") % 46081 - 23040) / 128.0).alias("lon"),
+        F.when(m < 10, F.create_map(F.lit("building"), F.lit("yes")))
+         .when(m < 20, F.create_map(F.lit("shop"), F.lit("bakery")))
+         .when(m < 30, F.when(
+             ck % 2 == 0,
+             F.create_map(F.lit("entrance"), ent,
+                          F.lit("wheelchair"), F.lit("yes")))
+           .otherwise(F.create_map(F.lit("entrance"), ent)))
+         .when(m < 35, F.create_map(
+             F.lit(" padded "),
+             F.concat(F.lit(" v"), (ck % 7).cast("string"), F.lit(" ")),
+             F.lit("building"), F.lit("yes")))
+         .otherwise(empty).alias("tags"))
+
+    mx = cust.agg(F.max(ck).alias("maxc"))
+    o = orders.select(F.col("o_orderkey").cast("long").alias("wid"),
+                      F.col("o_custkey").cast("long").alias("ock")) \
+              .crossJoin(F.broadcast(mx))
+    wid, ock, maxc = F.col("wid"), F.col("ock"), F.col("maxc")
+    base = F.transform(
+        F.sequence(F.lit(0).cast("long"), wid % 8 + 2),
+        lambda i: F.lit(1) + (ock * 31 + i * 17 + wid) % maxc)
+    refs1 = F.when(wid % 37 == 0,
+                   F.concat(F.array(maxc + 1 + wid),
+                            F.slice(base, 2, F.size(base) - 1))) \
+             .otherwise(base)
+    refs = F.when(wid % 5 == 0, F.concat(refs1, F.slice(refs1, 1, 1))) \
+            .otherwise(refs1)
+    wt = wid % 10
+    ways = o.select(
+        wid.alias("id"), refs.alias("refs"),
+        F.when(wt < 4, F.create_map(F.lit("building"), F.lit("yes")))
+         .when(wt < 6, F.create_map(F.lit("shop"), F.lit("bakery")))
+         .when(wt < 8, F.create_map(F.lit("highway"), F.lit("residential")))
+         .otherwise(empty).alias("tags"))
+
+    nord = orders.count()
+    word = orders.select(F.col("o_orderkey").cast("long").alias("wwid")) \
+                 .withColumn("wseq", F.row_number().over(
+                     Window.orderBy("wwid")).cast("long"))
+    rel = part.select(F.col("p_partkey").cast("long").alias("rel_id"))
+    rid = F.col("rel_id")
+    memb = rel.select(
+        "rel_id",
+        F.explode(F.when(rid % 4 >= 1,
+                         F.sequence(F.lit(0).cast("long"), rid % 4 - 1))
+                   .otherwise(F.array().cast("array<bigint>"))).alias("j"))
+    memb = memb.withColumn("seq", 1 + (rid * 13 + F.col("j") * 7) % nord)
+    memb = memb.join(word, memb.seq == word.wseq, "left")
+    memb = memb.select(
+        "rel_id", "j",
+        F.when((rid + F.col("j")) % 11 == 0,
+               F.lit(OSM_MISS) + rid * 10 + F.col("j"))
+         .otherwise(F.col("wwid")).alias("ref"))
+    member_t = "array<struct<type:tinyint,ref:bigint,role:string>>"
+    magg = (memb.groupBy("rel_id")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct(
+                    F.col("j").alias("j"),
+                    F.struct(F.lit(1).cast("byte").alias("type"),
+                             F.col("ref").alias("ref"),
+                             F.lit("outer").alias("role")).alias("m")))),
+                lambda x: x["m"]).alias("members")))
+    rt = rid % 10
+    rels = (rel.join(magg, "rel_id", "left")
+            .select(rid.alias("id"),
+                    F.coalesce("members", F.array().cast(member_t))
+                     .alias("members"),
+                    F.when(rt < 4,
+                           F.create_map(F.lit("building"), F.lit("yes")))
+                     .when(rt < 6, F.create_map(
+                         F.lit("boundary"), F.lit("administrative"),
+                         F.lit("name"), F.concat(F.lit("admin "),
+                                                 rid.cast("string"))))
+                     .otherwise(F.create_map(F.lit("waterway"),
+                                             F.lit("stream")))
+                     .alias("tags")))
+    return nodes, ways, rels
+
+
+def _tag_str():
+    return F.array_join(F.transform(
+        F.array_sort(F.map_entries("tags")),
+        lambda kv: F.concat(kv["key"], F.lit("="), kv["value"])), ";")
+
+
+def q_osm_pipeline(spark, sf_dir):
+    """The flagship reference job (matched nodes + denormalized ways +
+    denormalized relations) over driver-derived OSM tables, projected
+    to its SQL-expressible surface: gid, trimmed tag string, and the
+    %.7f bounds strings (node rows carry their coords in n/s=lat,
+    e/w=lon).  Centroids are pytest-pinned."""
+    from pbf2json_spark.operators.denormalize import (denormalize_relations,
+                                                      denormalize_ways,
+                                                      matched_nodes)
     _ship(spark)
-    n = max(300, _scale_rows(sf_dir))
-    nodes, ways, rels = osm_tables_df(spark, n, n // 5, n // 25)
-    return run_pipeline(nodes, ways, rels, "building,shop")
+    nodes, ways, rels = _osm_driver_tables(spark, sf_dir)
+    spec = "building,shop"
+    n = matched_nodes(nodes, spec).select(
+        F.concat(F.lit("node:"), F.col("id").cast("string")).alias("gid"),
+        F.lit("node").alias("typ"), _tag_str().alias("tag_str"),
+        F.format_string("%.7f", "lat").alias("n"),
+        F.format_string("%.7f", "lat").alias("s"),
+        F.format_string("%.7f", "lon").alias("e"),
+        F.format_string("%.7f", "lon").alias("w"))
+    w = denormalize_ways(nodes, ways, spec).select(
+        F.concat(F.lit("way:"), F.col("id").cast("string")).alias("gid"),
+        F.lit("way").alias("typ"), _tag_str().alias("tag_str"),
+        F.element_at("bounds", F.lit("n")).alias("n"),
+        F.element_at("bounds", F.lit("s")).alias("s"),
+        F.element_at("bounds", F.lit("e")).alias("e"),
+        F.element_at("bounds", F.lit("w")).alias("w"))
+    r = denormalize_relations(nodes, ways, rels, spec).select(
+        F.concat(F.lit("relation:"), F.col("id").cast("string")).alias("gid"),
+        F.lit("relation").alias("typ"), _tag_str().alias("tag_str"),
+        F.element_at("bounds", F.lit("n")).alias("n"),
+        F.element_at("bounds", F.lit("s")).alias("s"),
+        F.element_at("bounds", F.lit("e")).alias("e"),
+        F.element_at("bounds", F.lit("w")).alias("w"))
+    return n.unionByName(w).unionByName(r)
 
 
 def _scale_rows(sf_dir: str) -> int:
@@ -481,6 +632,105 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+def _osm_oracle_sql() -> str:
+    """DuckDB twin of q_osm_pipeline: identical table derivation (md5
+    hashes, 1/128-degree exact grid), way->node resolution with the
+    completeness drop, relation truncate-on-first-miss + argmax by bbox
+    area, and exact %.7f bounds strings."""
+    from pbf2json_spark.functions.geokernels import (EARTH_RADIUS_M,
+                                                     GEO_HEIGHT_M_PER_DEG)
+    return f"""
+WITH
+mx AS (SELECT max(c_custkey)::BIGINT AS maxc FROM customer),
+nordc AS (SELECT count(*)::BIGINT AS n FROM orders),
+nodes AS (
+  SELECT c_custkey::BIGINT AS id,
+         ((('0x' || substr(md5(c_custkey::VARCHAR || ':nlat'), 1, 15))::BIGINT
+           % 23041 - 11520) / 128.0) AS lat,
+         ((('0x' || substr(md5(c_custkey::VARCHAR || ':nlon'), 1, 15))::BIGINT
+           % 46081 - 23040) / 128.0) AS lon,
+         c_custkey % 100 AS m
+  FROM customer),
+node_out AS (
+  SELECT 'node:' || id AS gid, 'node' AS typ,
+         CASE WHEN m < 10 THEN 'building=yes'
+              WHEN m < 20 THEN 'shop=bakery'
+              ELSE 'building=yes;padded=v' || (id % 7) END AS tag_str,
+         printf('%.7f', lat) AS n, printf('%.7f', lat) AS s,
+         printf('%.7f', lon) AS e, printf('%.7f', lon) AS w
+  FROM nodes WHERE m < 20 OR (m >= 30 AND m < 35)),
+wmeta AS (
+  SELECT o_orderkey::BIGINT AS wid, o_custkey::BIGINT AS ock,
+         3 + o_orderkey % 8 AS l,
+         (o_orderkey % 5 = 0) AS closed,
+         (o_orderkey % 37 = 0) AS has_miss,
+         o_orderkey % 10 AS wt
+  FROM orders),
+wref AS (
+  SELECT wid, u.j AS i,
+         CASE WHEN has_miss AND (CASE WHEN u.j = l THEN 0 ELSE u.j END) = 0
+              THEN (SELECT maxc FROM mx) + 1 + wid
+              ELSE 1 + ((ock * 31
+                         + (CASE WHEN u.j = l THEN 0 ELSE u.j END) * 17
+                         + wid) % (SELECT maxc FROM mx)) END AS ref
+  FROM wmeta, UNNEST(range(0, l + CASE WHEN closed THEN 1 ELSE 0 END)) AS u(j)),
+wagg AS (
+  SELECT w.wid, count(*) AS nrefs, count(n.lat) AS npts,
+         max(n.lat) AS bn, min(n.lat) AS bs, max(n.lon) AS be, min(n.lon) AS bw
+  FROM wref w LEFT JOIN nodes n ON w.ref = n.id
+  GROUP BY w.wid),
+way_out AS (
+  SELECT 'way:' || m.wid AS gid, 'way' AS typ,
+         CASE WHEN m.wt < 4 THEN 'building=yes' ELSE 'shop=bakery' END AS tag_str,
+         printf('%.7f', a.bn) AS n, printf('%.7f', a.bs) AS s,
+         printf('%.7f', a.be) AS e, printf('%.7f', a.bw) AS w
+  FROM wmeta m JOIN wagg a ON m.wid = a.wid
+  WHERE m.wt < 6 AND a.npts = a.nrefs),
+word AS (SELECT o_orderkey::BIGINT AS wid,
+                row_number() OVER (ORDER BY o_orderkey) AS wseq FROM orders),
+rmeta AS (SELECT p_partkey::BIGINT AS rel_id, p_partkey % 4 AS mc,
+                 p_partkey % 10 AS rt FROM part),
+rmemx AS (
+  SELECT r.rel_id, u.j,
+         1 + (r.rel_id * 13 + u.j * 7) % (SELECT n FROM nordc) AS seq,
+         ((r.rel_id + u.j) % 11 = 0) AS is_miss
+  FROM rmeta r, UNNEST(range(0, r.mc)) AS u(j)),
+rmem AS (
+  SELECT x.rel_id, x.j,
+         CASE WHEN x.is_miss THEN {OSM_MISS} + x.rel_id * 10 + x.j
+              ELSE w.wid END AS ref
+  FROM rmemx x LEFT JOIN word w ON w.wseq = x.seq),
+rfail AS (
+  SELECT m.rel_id, m.j, m.ref,
+         (a.wid IS NULL OR a.npts <> a.nrefs) AS failed
+  FROM rmem m LEFT JOIN wagg a ON m.ref = a.wid),
+rcut AS (
+  SELECT rel_id, j, ref FROM (
+    SELECT *, min(CASE WHEN failed THEN j END)
+                OVER (PARTITION BY rel_id) AS first_miss
+    FROM rfail)
+  WHERE first_miss IS NULL OR j < first_miss),
+rpick AS (
+  SELECT c.rel_id, a.bn, a.bs, a.be, a.bw,
+         row_number() OVER (PARTITION BY c.rel_id ORDER BY
+           greatest({EARTH_RADIUS_M!r} * abs(radians(a.be - a.bw)
+                    * cos(radians((a.bn + a.bs) / 2.0))), 1e-6)
+           * greatest({GEO_HEIGHT_M_PER_DEG!r} * (a.bn - a.bs), 1e-6) DESC,
+           c.j ASC) AS rn
+  FROM rcut c JOIN wagg a ON c.ref = a.wid),
+rel_out AS (
+  SELECT 'relation:' || p.rel_id AS gid, 'relation' AS typ,
+         'building=yes' AS tag_str,
+         printf('%.7f', bn) AS n, printf('%.7f', bs) AS s,
+         printf('%.7f', be) AS e, printf('%.7f', bw) AS w
+  FROM rpick p JOIN rmeta m ON p.rel_id = m.rel_id
+  WHERE p.rn = 1 AND m.rt < 4)
+SELECT * FROM node_out
+UNION ALL SELECT * FROM way_out
+UNION ALL SELECT * FROM rel_out
+"""
+
+
 def _haversine_sql(lat1, lon1, lat2, lon2) -> str:
     return (f"2.0 * 6378137.0 * atan2(sqrt(pow(sin(radians({lat2} - {lat1}) / 2), 2)"
             f" + cos(radians({lat1})) * cos(radians({lat2}))"
@@ -596,6 +846,7 @@ FROM embeddings a JOIN embeddings b
 WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
                                    b.embedding::DOUBLE[]), 9) >= 0.8"""),
         "q_ann_lsh_topk": _ann_lsh_oracle_sql(),
+        "q_osm_pipeline": _osm_oracle_sql(),
         "q_pip_rect": _pip_oracle_sql(),
         "q_knn_geo": _knn_oracle_sql(),
         # q_tile_assignment: intentionally no oracle (decodes binary
