@@ -177,19 +177,24 @@ def _haversine_col(lat1, lon1, lat2, lon2):
     return 2.0 * gk.EARTH_RADIUS_M * F.atan2(F.sqrt(a), F.sqrt(1.0 - a))
 
 
-def _query_disk_pdf(remaining: pd.DataFrame, res: int,
-                    rings: np.ndarray) -> pd.DataFrame:
+def _query_disk_pdf(remaining: pd.DataFrame, levels_used: list,
+                    lvl_idx: np.ndarray, rings: np.ndarray) -> pd.DataFrame:
     """Driver-side (numpy) expansion of each query's k-disk + exit bound
-    with a PER-QUERY ring size: queries are the small dim side, so no
-    Spark UDF round-trips."""
+    with a PER-QUERY (level, ring): queries are the small dim side, so
+    no Spark UDF round-trips.  `lvl_idx` indexes into levels_used (the
+    same index posexplode assigns on the point side)."""
     frames = []
-    for ring in np.unique(rings):
-        sub = remaining[rings == ring]
+    key = lvl_idx * 1000 + rings
+    for kv in np.unique(key):
+        li, ring = int(kv) // 1000, int(kv) % 1000
+        sel = key == kv
+        sub = remaining[sel]
+        level = levels_used[li]
         la = sub["lat"].to_numpy(dtype=np.float64)
         lo = sub["lon"].to_numpy(dtype=np.float64)
-        cells = cx.cell_id(la, lo, res)
-        disks = cx.disk(cells, int(ring))            # (n, m), -1 padded
-        exit_m = cx.disk_exit_distance_m(la, lo, res, int(ring))
+        cells = cx.cell_id(la, lo, level)
+        disks = cx.disk(cells, ring)                 # (n, m), -1 padded
+        exit_m = cx.disk_exit_distance_m(la, lo, level, ring)
         n, m = disks.shape
         rep = np.repeat(np.arange(n), m)
         flat = disks.reshape(-1)
@@ -199,6 +204,7 @@ def _query_disk_pdf(remaining: pd.DataFrame, res: int,
             "lat": la[rep[keep]],
             "lon": lo[rep[keep]],
             "exit_m": exit_m[rep[keep]],
+            "lvl": np.full(keep.sum(), li, dtype=np.int32),
             "cell": flat[keep],
         }))
     return pd.concat(frames, ignore_index=True)
@@ -259,57 +265,76 @@ def _brute_force_knn(pts: DataFrame, remaining: pd.DataFrame, k: int,
             .select("query_id", point_id, "dist_m", "rank"))
 
 
-def _exit_per_query(remaining: pd.DataFrame, res: int,
-                    rings: np.ndarray) -> np.ndarray:
-    """Disk-exit bound per query for mixed ring sizes (order-preserving)."""
+def _exit_per_query(remaining: pd.DataFrame, levels_used: list,
+                    lvl_idx: np.ndarray, rings: np.ndarray) -> np.ndarray:
+    """Disk-exit bound per query for mixed (level, ring) sizes
+    (order-preserving)."""
     la = remaining["lat"].to_numpy(np.float64)
     lo = remaining["lon"].to_numpy(np.float64)
     out = np.empty(len(la))
-    for r in np.unique(rings):
-        m = rings == r
-        out[m] = cx.disk_exit_distance_m(la[m], lo[m], res, int(r))
+    key = lvl_idx * 1000 + rings
+    for kv in np.unique(key):
+        li, r = int(kv) // 1000, int(kv) % 1000
+        m = key == kv
+        out[m] = cx.disk_exit_distance_m(la[m], lo[m], levels_used[li], r)
     return out
 
 
 def knn(points: DataFrame, queries: DataFrame, k: int,
         res: int = KNN_RES, initial_ring: int = 1, max_rounds: int = 3,
-        point_id: str = "image_id") -> DataFrame:
+        point_id: str = "image_id",
+        tail_to_brute_frac: float = 0.1) -> DataFrame:
     """Top-k nearest points per query with exact-termination guarantee.
 
     points: (point_id, lat, lon, cell_r{res}); queries: (query_id, lat,
     lon).  Returns (query_id, <point_id>, dist_m, rank).
 
-    Round 1 probes every query's initial disk (cell-equi join against a
-    broadcast of the exploded disks, expanded driver-side — the query
-    side is a dim table); re-rank is a window over a JVM-side haversine.
+    The index is ADAPTIVE-RESOLUTION: one bounded density aggregation
+    (<= 2*4^9 coarse cells) sizes a per-query cell LEVEL so that the
+    initial ring's disk is expected to hold ~margin*k points — dense
+    hotspot queries probe FINE cells (a fixed res would hand them
+    thousands of candidates per cell), sparse queries probe COARSE
+    cells (a fixed res would need thousand-cell disks).  The point
+    side is exploded once to (level, cell) keys for the handful of
+    levels in use; each round is a (lvl, cell)-equi join + one
+    rank<=k window (Spark's WindowGroupLimit keeps it a partial
+    top-k, never a full sort of the candidates).
+
     A query terminates when its kth distance <= its conservative disk-
-    exit bound.  Escalation is DENSITY-AWARE: the next ring is sized
-    from the candidate count the query actually observed
-    (ring * sqrt(k/found)), queries that saw nothing — or would need a
-    ring beyond MAX_RING — skip straight to the brute-force tail, which
-    is proportionally cheap exactly when the cell index is useless
-    (sparse regions)."""
+    exit bound.  Escalation grows the ring at the query's level
+    (ring * sqrt(k/found)); queries that saw nothing — or would need a
+    ring beyond MAX_RING — go to the brute-force tail, which is
+    proportionally cheap exactly when the cell index is useless.
+    Result rows never flow through the driver: round results stay
+    DataFrames (union + localCheckpoint), the driver only collects a
+    Q-row stats aggregate per round for ring bookkeeping."""
+    spark0 = points.sparkSession
     pts = points.select(
         F.col(point_id), F.col("lat").alias("p_lat"),
-        F.col("lon").alias("p_lon"), F.col(f"cell_r{res}").alias("cell"))
+        F.col("lon").alias("p_lon"))
+    # the projected point store is narrow; more partitions than task
+    # slots only buys scheduling floor on the per-round joins
+    par = spark0.sparkContext.defaultParallelism
+    if pts.rdd.getNumPartitions() > 2 * par:
+        pts = pts.coalesce(2 * par)
     pts = pts.persist()
 
-    # queries are the dim side: the driver plans rings over Q rows, but
-    # RESULT rows never flow through the driver — each round's top-k
-    # stays a DataFrame, done-ness is decided by a distributed window,
-    # and only a Q-row per-query stats aggregate is collected.
     remaining = queries.select("query_id", "lat", "lon").toPandas()
+    n_queries0 = max(len(remaining), 1)
     spark = points.sparkSession
     results = []          # DataFrames of (query_id, point_id, dist_m, rank)
     round_caches = []     # persisted per-round tops, released at the end
     brute = []
 
-    # density presizing: when a coarse cell column is available, one
-    # bounded aggregation (<= 2*4^9 cells regardless of corpus size)
-    # sizes every query's ring so round 1 usually terminates — this
-    # replaces blind escalation rounds with one exact-sized probe
+    # density presizing -> per-query LEVEL: one bounded aggregation
+    # (<= 2*4^9 cells regardless of corpus size) estimates local point
+    # density; each query picks the cell level whose initial-ring disk
+    # is expected to hold ~margin*k points, so round 1 usually
+    # terminates with a near-minimal candidate set at both density
+    # extremes (zipfian hotspots AND empty ocean).
     density_res = 9
     density_col = f"cell_r{density_res}"
+    margin = 4.0
     if density_col in points.columns and not remaining.empty:
         counts = points.groupBy(F.col(density_col).alias("c")).count().toPandas()
         cmap = dict(zip(counts["c"].tolist(), counts["count"].tolist()))
@@ -322,97 +347,151 @@ def knn(points: DataFrame, queries: DataFrame, k: int,
             for row in coarse_disks])
         # points per res-`res` cell inside the coarse 3x3 neighbourhood
         per_fine = local / (9 * 4 ** (res - density_res))
-        margin = 4.0
+        target_pc = margin * k / float((2 * initial_ring + 1) ** 2)
         with np.errstate(divide="ignore"):
-            need = np.sqrt(margin * k / np.maximum(per_fine, 1e-12))
-        rings = np.clip(np.ceil((need - 1) / 2), initial_ring,
-                        MAX_RING + 1).astype(np.int64)
-        to_brute = (local == 0) | (rings > MAX_RING)
+            delta = np.log(np.maximum(per_fine, 1e-12) / target_pc) \
+                / np.log(4.0)
+        qlvl = np.clip(np.round(delta) + res,
+                       max(res - 6, 2), min(res + 6, cx.MAX_RES)) \
+            .astype(np.int64)
+        to_brute = local == 0
         brute.append(remaining[to_brute])
         remaining = remaining[~to_brute]
-        rings = rings[~to_brute]
+        qlvl = qlvl[~to_brute]
     else:
-        rings = np.full(len(remaining), initial_ring, dtype=np.int64)
+        qlvl = np.full(len(remaining), res, dtype=np.int64)
+    rings = np.full(len(remaining), initial_ring, dtype=np.int64)
+
+    # explode the point side ONCE to (lvl, cell) keys for the handful
+    # of levels in use (a real deployment precomputes these columns at
+    # ingest via attach_geo(res_list) and partitions the table by a
+    # coarse cell for locality)
+    levels_used = sorted({int(v) for v in np.unique(qlvl)}) or [res]
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def cells_at(lat, lon):
+        la = lat.to_numpy(np.float64)
+        lo = lon.to_numpy(np.float64)
+        m = np.stack([cx.cell_id(la, lo, L) for L in levels_used], axis=1)
+        return pd.Series(list(m))
+
+    pts_ml = pts.select(
+        F.col(point_id), "p_lat", "p_lon",
+        F.posexplode(cells_at("p_lat", "p_lon")).alias("lvl", "cell"))
+    pts_ml = pts_ml.persist()
+
+    lvl_idx = np.array([levels_used.index(int(v)) for v in qlvl],
+                       dtype=np.int64)
     for _round in range(max_rounds):
         if remaining.empty:
             break
         est_rows = int(((2 * rings + 1) ** 2).sum())
-        if est_rows <= 200_000:
+        if est_rows <= 500_000:
             # small expansion: build it driver-side (one createDataFrame)
             qcells = spark.createDataFrame(
-                _query_disk_pdf(remaining, res, rings),
+                _query_disk_pdf(remaining, levels_used, lvl_idx, rings),
                 schema="query_id string, lat double, lon double, "
-                       "exit_m double, cell long")
+                       "exit_m double, lvl int, cell long")
+            cand = pts_ml.join(F.broadcast(qcells), ["lvl", "cell"])
         else:
-            # large expansion (many queries x big rings): ship the tiny
-            # query table and explode the disks ON EXECUTORS — the
-            # driver must not single-threadedly materialize millions of
-            # candidate cells
+            # large expansion: ship the tiny query table and explode the
+            # disks ON EXECUTORS; the exploded side is now the BIG side,
+            # so leave the broadcast decision to AQE
             qbase = remaining.assign(
-                ring=rings, exit_m=_exit_per_query(remaining, res, rings))
+                ring=rings, lvl=lvl_idx,
+                exit_m=_exit_per_query(remaining, levels_used, lvl_idx,
+                                       rings))
             qdf = spark.createDataFrame(
                 qbase, schema="query_id string, lat double, lon double, "
-                              "ring int, exit_m double")
+                              "ring int, lvl int, exit_m double")
 
             @F.pandas_udf(T.ArrayType(T.LongType()))
-            def disk_cells(lat, lon, ring):
+            def disk_cells(lat, lon, ring, lvl):
                 la = lat.to_numpy(np.float64)
                 lo = lon.to_numpy(np.float64)
                 rg = ring.to_numpy(np.int64)
-                cells = cx.cell_id(la, lo, res)
-                # group rows by ring for vectorized disk expansion
+                lv = lvl.to_numpy(np.int64)
+                # group rows by (level, ring) for vectorized expansion;
+                # keep everything numpy — a per-element python filter
+                # over millions of cells was a measured hot spot
                 result = [None] * len(la)
-                for rr in np.unique(rg):
-                    idx = np.nonzero(rg == rr)[0]
-                    d = cx.disk(cells[idx], int(rr))
-                    for j, row in zip(idx, d):
-                        result[j] = [c for c in row.tolist() if c >= 0]
+                key = lv * 1000 + rg
+                for kv in np.unique(key):
+                    li, rr = int(kv) // 1000, int(kv) % 1000
+                    idx = np.nonzero(key == kv)[0]
+                    cells = cx.cell_id(la[idx], lo[idx], levels_used[li])
+                    d = cx.disk(cells, rr)
+                    if d.min() >= 0:          # no world-edge padding
+                        for j, row in zip(idx, d):
+                            result[j] = row
+                    else:
+                        mask = d >= 0
+                        for j, row, m in zip(idx, d, mask):
+                            result[j] = row[m]
                 return pd.Series(result)
 
             qcells = qdf.select(
-                "query_id", "lat", "lon", "exit_m",
-                F.explode(disk_cells("lat", "lon", "ring")).alias("cell"))
-        cand = pts.join(F.broadcast(qcells), "cell")
+                "query_id", "lat", "lon", "exit_m", "lvl",
+                F.explode(disk_cells("lat", "lon", "ring", "lvl"))
+                 .alias("cell"))
+            cand = pts_ml.join(qcells, ["lvl", "cell"])
         cand = cand.withColumn(
             "dist_m", _haversine_col(F.col("lat"), F.col("lon"),
                                      F.col("p_lat"), F.col("p_lon")))
+        # ONE ordered window: the rank<=k filter right above row_number
+        # becomes a WindowGroupLimit (partial top-k before the shuffle,
+        # never a full sort of the candidate set).  found is derivable:
+        # n < k means the disk held exactly n candidates.
         win = Window.partitionBy("query_id").orderBy("dist_m", point_id)
-        wq = Window.partitionBy("query_id")
         top = (cand
-               .withColumn("found", F.count("*").over(wq))
                .withColumn("rank", F.row_number().over(win))
                .filter(F.col("rank") <= k)
-               .withColumn("done",
-                           (F.count("*").over(wq) >= k)
-                           & (F.max("dist_m").over(wq) <= F.col("exit_m")))
-               .select("query_id", point_id, "dist_m", "rank",
-                       "exit_m", "found", "done")
+               .select("query_id", point_id, "dist_m", "rank", "exit_m")
                .persist())
         round_caches.append(top)
         # driver sees only the Q-row stats aggregate (ring escalation
         # bookkeeping), never the result rows
         stat = (top.groupBy("query_id")
-                .agg(F.first("done").alias("done"),
-                     F.first("found").alias("found"))).toPandas()
+                .agg(F.count("*").alias("n"),
+                     F.max("dist_m").alias("worst"),
+                     F.first("exit_m").alias("exit_m"))).toPandas()
+        stat["done"] = (stat["n"] >= k) & (stat["worst"] <= stat["exit_m"])
         done_ids = set(stat[stat["done"]]["query_id"])
-        found_map = dict(zip(stat["query_id"], stat["found"]))
-        results.append(top.filter("done")
-                       .select("query_id", point_id, "dist_m", "rank"))
+        found_map = dict(zip(stat["query_id"], stat["n"]))
+        if done_ids:
+            done_df = spark.createDataFrame(
+                pd.DataFrame({"query_id": sorted(done_ids)}),
+                schema="query_id string")
+            results.append(
+                top.join(F.broadcast(done_df), "query_id", "leftsemi")
+                   .select("query_id", point_id, "dist_m", "rank"))
         keep_mask = ~remaining["query_id"].isin(done_ids).to_numpy()
         remaining = remaining[keep_mask]
         rings = rings[keep_mask]
+        lvl_idx = lvl_idx[keep_mask]
         if remaining.empty:
             break
         # density-aware escalation from the observed candidate counts
+        # (n == k only bounds found from below -> conservative growth)
         found = remaining["query_id"].map(found_map).fillna(0).to_numpy()
         grow = np.where(found > 0,
                         np.ceil(rings * np.sqrt(k / np.maximum(found, 1)))
                         + rings + 1,
                         MAX_RING + 1).astype(np.int64)
         to_brute = grow > MAX_RING
+        # tail-folding: the brute pass is ONE corpus scan that (a) is
+        # already needed for the presize-brute queries and (b) costs
+        # the same regardless of how many query columns ride along —
+        # so when only a small tail of queries survives the round, two
+        # more global barriers are worse than widening that scan.
+        n_brute_queued = sum(len(b) for b in brute)
+        small_tail = len(remaining) < tail_to_brute_frac * n_queries0
+        if small_tail and (n_brute_queued > 0 or _round == max_rounds - 1):
+            to_brute[:] = True
         brute.append(remaining[to_brute])
         remaining = remaining[~to_brute]
         rings = grow[~to_brute]
+        lvl_idx = lvl_idx[~to_brute]
 
     brute.append(remaining)
     remaining = pd.concat(brute, ignore_index=True)
@@ -432,6 +511,7 @@ def knn(points: DataFrame, queries: DataFrame, k: int,
         out = spark.createDataFrame([], schema=schema)
     for c in round_caches:
         c.unpersist()
+    pts_ml.unpersist()
     pts.unpersist()
     return out
 

@@ -59,6 +59,16 @@ def test_point_in_polygon_exact(spark, points, points_pdf):
     assert len(want_pairs) > 50, "fixture should put many points in hotspot polygons"
 
 
+def test_point_in_polygon_dim_side_guard(spark, points, monkeypatch):
+    """A polygon side too big to broadcast must be refused loudly, not
+    silently collected into a driver/task memory bomb."""
+    import pytest as _pytest
+    polys = synth.polygons_df(spark, 12)
+    monkeypatch.setattr(sp, "PIP_MAX_DIM_VERTICES", 10)
+    with _pytest.raises(ValueError, match="not a broadcastable dim"):
+        sp.point_in_polygon(points, polys, res=sp.DEFAULT_RES)
+
+
 def test_knn_exact(spark, points, points_pdf):
     K = 5
     queries = synth.knn_queries_df(spark, 30, k=K)
