@@ -217,6 +217,11 @@ def _query_disk_pdf(remaining: pd.DataFrame, levels_used: list,
 # tiny and the cap never binds.
 MAX_RING = 16
 
+# total pairwise haversine ops the brute tail may absorb when folding
+# round survivors into an already-queued scan (~a few seconds of
+# vectorized numpy across one node's cores)
+BRUTE_OPS_BUDGET = 2_000_000_000
+
 
 def _brute_force_knn(pts: DataFrame, remaining: pd.DataFrame, k: int,
                      point_id: str) -> DataFrame:
@@ -337,14 +342,20 @@ def knn(points: DataFrame, queries: DataFrame, k: int,
     margin = 4.0
     if density_col in points.columns and not remaining.empty:
         counts = points.groupBy(F.col(density_col).alias("c")).count().toPandas()
-        cmap = dict(zip(counts["c"].tolist(), counts["count"].tolist()))
+        n_points = int(counts["count"].sum())
         qla = remaining["lat"].to_numpy(np.float64)
         qlo = remaining["lon"].to_numpy(np.float64)
         qcoarse = cx.cell_id(qla, qlo, density_res)
-        coarse_disks = cx.disk(qcoarse, 1)
-        local = np.array([
-            sum(cmap.get(int(c), 0) for c in row if c >= 0)
-            for row in coarse_disks])
+        coarse_disks = cx.disk(qcoarse, 1)          # (Q, 9)
+        # vectorized neighborhood sum (a python dict loop here is the
+        # driver's serial Amdahl term at large Q)
+        cser = pd.Series(counts["count"].to_numpy(np.int64),
+                         index=counts["c"].to_numpy(np.int64))
+        flat = coarse_disks.reshape(-1)
+        vals = cser.reindex(np.where(flat >= 0, flat, 0)).fillna(0) \
+                   .to_numpy(np.int64)
+        vals[flat < 0] = 0
+        local = vals.reshape(coarse_disks.shape).sum(axis=1)
         # points per res-`res` cell inside the coarse 3x3 neighbourhood
         per_fine = local / (9 * 4 ** (res - density_res))
         target_pc = margin * k / float((2 * initial_ring + 1) ** 2)
@@ -360,39 +371,56 @@ def knn(points: DataFrame, queries: DataFrame, k: int,
         qlvl = qlvl[~to_brute]
     else:
         qlvl = np.full(len(remaining), res, dtype=np.int64)
+        n_points = pts.count()
+    lmin, lmax = max(res - 6, 2), min(res + 6, cx.MAX_RES)
     rings = np.full(len(remaining), initial_ring, dtype=np.int64)
 
-    # explode the point side ONCE to (lvl, cell) keys for the handful
-    # of levels in use (a real deployment precomputes these columns at
-    # ingest via attach_geo(res_list) and partitions the table by a
-    # coarse cell for locality)
-    levels_used = sorted({int(v) for v in np.unique(qlvl)}) or [res]
+    # explode the point side to (lvl, cell) keys for the handful of
+    # levels in use — the one-coarser retry levels are included upfront
+    # so empty-disk escalation never rebuilds the key table (a real
+    # deployment precomputes these columns at ingest via
+    # attach_geo(res_list) and partitions the table by a coarse cell)
+    def _levels_for(lvls: np.ndarray) -> list:
+        base = {int(v) for v in np.unique(lvls)}
+        return sorted(base | {max(v - 2, lmin) for v in base}) or [res]
 
-    @F.pandas_udf(T.ArrayType(T.LongType()))
-    def cells_at(lat, lon):
-        la = lat.to_numpy(np.float64)
-        lo = lon.to_numpy(np.float64)
-        m = np.stack([cx.cell_id(la, lo, L) for L in levels_used], axis=1)
-        return pd.Series(list(m))
+    levels_used = _levels_for(qlvl)
+    pts_ml = None
 
-    pts_ml = pts.select(
-        F.col(point_id), "p_lat", "p_lon",
-        F.posexplode(cells_at("p_lat", "p_lon")).alias("lvl", "cell"))
-    pts_ml = pts_ml.persist()
+    def build_pts_ml(levels):
+        @F.pandas_udf(T.ArrayType(T.LongType()))
+        def cells_at(lat, lon):
+            la = lat.to_numpy(np.float64)
+            lo = lon.to_numpy(np.float64)
+            m = np.stack([cx.cell_id(la, lo, L) for L in levels], axis=1)
+            return pd.Series(list(m))
 
-    lvl_idx = np.array([levels_used.index(int(v)) for v in qlvl],
-                       dtype=np.int64)
+        df = pts.select(
+            F.col(point_id), "p_lat", "p_lon",
+            F.posexplode(cells_at("p_lat", "p_lon")).alias("lvl", "cell"))
+        return df.persist()
+
+    pts_ml = build_pts_ml(levels_used)
+
     for _round in range(max_rounds):
         if remaining.empty:
             break
+        if not {int(v) for v in np.unique(qlvl)} <= set(levels_used):
+            pts_ml.unpersist()
+            levels_used = _levels_for(qlvl)
+            pts_ml = build_pts_ml(levels_used)
+        lvl_idx = np.array([levels_used.index(int(v)) for v in qlvl],
+                           dtype=np.int64)
         est_rows = int(((2 * rings + 1) ** 2).sum())
-        if est_rows <= 500_000:
+        if est_rows <= 50_000:
             # small expansion: build it driver-side (one createDataFrame)
+            # — beyond ~50k exploded cells the single-threaded driver
+            # Arrow conversion becomes the Amdahl term; the executor
+            # path ships only the Q-row query table
             qcells = spark.createDataFrame(
                 _query_disk_pdf(remaining, levels_used, lvl_idx, rings),
                 schema="query_id string, lat double, lon double, "
                        "exit_m double, lvl int, cell long")
-            cand = pts_ml.join(F.broadcast(qcells), ["lvl", "cell"])
         else:
             # large expansion: ship the tiny query table and explode the
             # disks ON EXECUTORS; the exploded side is now the BIG side,
@@ -434,6 +462,14 @@ def knn(points: DataFrame, queries: DataFrame, k: int,
                 "query_id", "lat", "lon", "exit_m", "lvl",
                 F.explode(disk_cells("lat", "lon", "ring", "lvl"))
                  .alias("cell"))
+        # broadcast the exploded disks while they are genuinely the
+        # small side (cells are ~40 B/row); beyond that leave the
+        # build-side choice to AQE — forcing a multi-million-row side
+        # through the driver was a measured scale-killer, but so is
+        # sort-merge-joining the point keys against a 100k-row dim
+        if est_rows <= 2_000_000:
+            cand = pts_ml.join(F.broadcast(qcells), ["lvl", "cell"])
+        else:
             cand = pts_ml.join(qcells, ["lvl", "cell"])
         cand = cand.withColumn(
             "dist_m", _haversine_col(F.col("lat"), F.col("lon"),
@@ -468,30 +504,42 @@ def knn(points: DataFrame, queries: DataFrame, k: int,
         keep_mask = ~remaining["query_id"].isin(done_ids).to_numpy()
         remaining = remaining[keep_mask]
         rings = rings[keep_mask]
-        lvl_idx = lvl_idx[keep_mask]
+        qlvl = qlvl[keep_mask]
         if remaining.empty:
             break
         # density-aware escalation from the observed candidate counts
-        # (n == k only bounds found from below -> conservative growth)
+        # (n == k only bounds found from below -> conservative growth).
+        # An EMPTY disk means the coarse density estimate overshot the
+        # level (hotspot-fringe queries: density varies faster than the
+        # res-9 estimate resolves) -> retry TWO LEVELS COARSER (16x the
+        # area per cell) instead of going straight to brute.
         found = remaining["query_id"].map(found_map).fillna(0).to_numpy()
+        zero = found == 0
+        coarsen = np.maximum(qlvl - 2, lmin)
+        can_coarsen = zero & (qlvl > lmin)
         grow = np.where(found > 0,
                         np.ceil(rings * np.sqrt(k / np.maximum(found, 1)))
                         + rings + 1,
-                        MAX_RING + 1).astype(np.int64)
+                        np.where(can_coarsen, initial_ring,
+                                 MAX_RING + 1)).astype(np.int64)
+        qlvl = np.where(can_coarsen, coarsen, qlvl)
         to_brute = grow > MAX_RING
-        # tail-folding: the brute pass is ONE corpus scan that (a) is
-        # already needed for the presize-brute queries and (b) costs
-        # the same regardless of how many query columns ride along —
-        # so when only a small tail of queries survives the round, two
-        # more global barriers are worse than widening that scan.
+        # tail-folding: the brute pass is ONE corpus scan whose cost we
+        # can PRICE — n_points x remaining vectorized haversines.  When
+        # that total fits the budget (a few seconds of numpy on one
+        # node) and a scan is already queued anyway, two more global
+        # barriers are strictly worse than widening that scan.  At
+        # 10^12 points the budget never fits, so escalation rounds
+        # (including the coarsen-retry) carry the load at scale.
         n_brute_queued = sum(len(b) for b in brute)
-        small_tail = len(remaining) < tail_to_brute_frac * n_queries0
+        small_tail = (len(remaining) < tail_to_brute_frac * n_queries0
+                      or n_points * len(remaining) <= BRUTE_OPS_BUDGET)
         if small_tail and (n_brute_queued > 0 or _round == max_rounds - 1):
             to_brute[:] = True
         brute.append(remaining[to_brute])
         remaining = remaining[~to_brute]
         rings = grow[~to_brute]
-        lvl_idx = lvl_idx[~to_brute]
+        qlvl = qlvl[~to_brute]
 
     brute.append(remaining)
     remaining = pd.concat(brute, ignore_index=True)

@@ -107,6 +107,47 @@ def test_simhash_matches_python_twin(spark, docs_df):
     assert g3 == expect3
 
 
+def _py_ngram_pairs(docs, tau, bucket=100):
+    """Blocked ALL-PAIRS jaccard twin (no prefix filter) — the spec the
+    prefix-filtered operator must reproduce exactly."""
+    out = {}
+    metas = [(d[0], d[2], d[4] // bucket, _py_shingles(d[1])) for d in docs]
+    for i, (ida, la, lba, sa) in enumerate(metas):
+        for idb, lb_, lbb, sb in metas[i + 1:]:
+            if la != lb_ or lba != lbb:
+                continue
+            j = round(len(sa & sb) / len(sa | sb), 9)
+            if j >= tau:
+                a, b = min(ida, idb), max(ida, idb)
+                out[(a, b)] = j
+    return out
+
+
+def test_ngram_prefix_filter_matches_all_pairs(spark):
+    """The prefix-filter candidate join must return the IDENTICAL pair
+    set as blocked all-pairs — including pairs whose only shared
+    shingle sits deep in the sorted order (the prefix bound's edge)."""
+    docs = []
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    words = base.split()
+    for i in range(30):
+        # rotations + substitutions: plenty of mid/low-jaccard pairs
+        toks = words[i % 5:] + words[:i % 5]
+        if i % 3 == 0:
+            toks = toks[:-1] + [f"uniq{i}"]
+        text = " ".join(toks)
+        docs.append((i, text, "en", "s", len(text)))
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    for tau in (0.2, 0.5, 0.8):
+        got = {(r.doc_a, r.doc_b): r.jaccard
+               for r in dedup.ngram_jaccard_pairs(df, tau=tau).collect()}
+        want = _py_ngram_pairs(docs, tau)
+        assert got == want, (tau, set(got) ^ set(want))
+    assert _py_ngram_pairs(docs, 0.2), "fixture must produce pairs"
+
+
 def test_ann_lsh_recall_vs_brute_force(spark):
     emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") < 10).select(
