@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """Before/after evidence for explicit hot-key salting (north rule;
-VERDICT r1 #6): a zipfian refs->node-store lookup join where ~60% of
-probe rows hit 5 hot node ids, executed three ways on the same input:
+VERDICT r1 #6): a zipfian refs->node-store lookup join where 75% of
+probe rows hit 3 hot node ids, executed three ways on the same input:
 
 - plain shuffled sort-merge join with AQE skew-split DISABLED
   (the unprotected baseline: hot keys pin single tasks);
@@ -24,28 +24,27 @@ import os
 import sys
 import time
 
-import numpy as np
-import pandas as pd
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-N_PROBE = 3_000_000
-N_BUILD = 200_000
-HOT = 5
+N_PROBE = 24_000_000
+N_BUILD = 400_000
+HOT = 3
+HOT_FRACTION = 0.75
 
 
 def build_tables(spark):
+    """Executor-side deterministic zipfian generator (a 24M-row pandas
+    upload would itself be a driver bottleneck)."""
     from pyspark.sql import functions as F
-    rng = np.random.Generator(np.random.Philox(key=np.uint64(11)))
-    # zipfian probe: 60% of rows hit HOT keys, rest uniform
-    hot_mask = rng.uniform(size=N_PROBE) < 0.6
-    keys = np.where(hot_mask, rng.integers(0, HOT, N_PROBE),
-                    rng.integers(0, N_BUILD, N_PROBE)).astype(np.int64)
-    probe = spark.createDataFrame(
-        pd.DataFrame({"ref": keys,
-                      "pos": np.arange(N_PROBE, dtype=np.int64)})) \
-        .repartition(64).persist()
+    pct = int(HOT_FRACTION * 100)
+    probe = spark.range(0, N_PROBE, numPartitions=64).select(
+        F.when(F.pmod(F.xxhash64("id"), 100) < pct,
+               F.pmod(F.xxhash64("id", F.lit("h")), HOT))
+         .otherwise(F.pmod(F.xxhash64("id", F.lit("u")), N_BUILD))
+         .alias("ref"),
+        F.col("id").alias("pos")).persist()
     build = spark.range(0, N_BUILD).select(
         F.col("id").alias("ref"),
         (F.col("id") * 2).alias("lat"), (F.col("id") * 3).alias("lon")) \
@@ -67,7 +66,8 @@ def timed_join(spark, probe, build, salted: bool, skew_aqe: bool,
         t0 = time.perf_counter()
         if salted:
             j = salted_equijoin(probe, build, "ref", n_salts=32,
-                                hot_threshold=N_PROBE // 100)
+                                hot_threshold=N_PROBE // 100,
+                                sample_fraction=0.001)
         else:
             j = probe.join(build, "ref")
         out = j.agg(F.count("*"), F.sum("lat")).collect()[0]
@@ -92,7 +92,7 @@ def main() -> None:
     assert chk_plain == chk_aqe == chk_salt, "join results diverged"
 
     res = {"rows_probe": N_PROBE, "rows_build": N_BUILD,
-           "hot_keys": HOT, "hot_fraction": 0.6, "cpus": cpus,
+           "hot_keys": HOT, "hot_fraction": HOT_FRACTION, "cpus": cpus,
            "join_rows": chk_plain[0],
            "plain_smj_sec": round(t_plain, 3),
            "aqe_skew_sec": round(t_aqe, 3),
@@ -102,8 +102,8 @@ def main() -> None:
 
 Zipfian lookup join (the north rule's "salted broadcast-vs-shuffle
 hash join ... replacing pbf2json's LevelDB cache"): {N_PROBE:,} probe
-rows, 60% hitting {HOT} hot node ids, against a {N_BUILD:,}-row node
-store.  Broadcast disabled (the real node store is TBs); identical
+rows, {int(HOT_FRACTION*100)}% hitting {HOT} hot node ids, against a
+{N_BUILD:,}-row node store.  Broadcast disabled (the real node store is TBs); identical
 count+sum checksums across all three plans.
 
 | plan | wall sec (min of 3) |

@@ -25,7 +25,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 SALT_COL = "__salt"
-HOT_COL = "__hot"
 
 
 def hot_keys(df: DataFrame, key: str, threshold: int,
@@ -44,32 +43,46 @@ def hot_keys(df: DataFrame, key: str, threshold: int,
             .select(key))
 
 
+MAX_HOT_KEYS = 100_000
+
+
 def salted_equijoin(probe: DataFrame, build: DataFrame, key: str,
                     n_salts: int = 16,
-                    hot: DataFrame | None = None,
+                    hot: DataFrame | list | None = None,
                     hot_threshold: int = 50_000,
                     sample_fraction: float | None = None,
                     how: str = "inner") -> DataFrame:
     """Equi-join `probe` with `build` on `key` with the hot keys salted
     across `n_salts` sub-keys.  Column sets (minus `key`) must be
     disjoint.  Output columns = probe columns + build columns (key
-    once), exactly like probe.join(build, key, how)."""
+    once), exactly like probe.join(build, key, how).
+
+    The hot set is MATERIALIZED once (driver-side list — hot keys are
+    few by definition, and leaving them as a lazy plan re-runs the
+    detection scan inside every downstream branch) and tested with a
+    literal set predicate, so salting adds zero extra joins."""
     if hot is None:
         hot = hot_keys(probe, key, hot_threshold, sample_fraction)
-    hot_marked = F.broadcast(hot.select(key).distinct()
-                             .withColumn(HOT_COL, F.lit(True)))
+    if isinstance(hot, DataFrame):
+        hot_list = [r[0] for r in hot.select(key).distinct().collect()]
+    else:
+        hot_list = list(hot)
+    if not hot_list:
+        return probe.join(build, key, how)
+    assert len(hot_list) <= MAX_HOT_KEYS, (
+        f"{len(hot_list)} hot keys — raise hot_threshold; a 'hot set' "
+        f"this large means the distribution is not actually skewed")
 
-    p = probe.join(hot_marked, key, "left").withColumn(
+    is_hot = F.col(key).isin(hot_list)
+    p = probe.withColumn(
         SALT_COL,
-        F.when(F.col(HOT_COL).isNotNull(),
-               F.pmod(F.monotonically_increasing_id(), F.lit(n_salts))
-                .cast("int"))
-         .otherwise(F.lit(0))).drop(HOT_COL)
-
-    b = build.join(hot_marked, key, "left").withColumn(
+        F.when(is_hot,
+               F.pmod(F.xxhash64(F.col(key),
+                                 F.monotonically_increasing_id()),
+                      F.lit(n_salts)).cast("int"))
+         .otherwise(F.lit(0)))
+    b = build.withColumn(
         SALT_COL,
-        F.explode(F.when(F.col(HOT_COL).isNotNull(),
-                         F.sequence(F.lit(0), F.lit(n_salts - 1)))
-                   .otherwise(F.array(F.lit(0))))).drop(HOT_COL)
-
+        F.explode(F.when(is_hot, F.sequence(F.lit(0), F.lit(n_salts - 1)))
+                   .otherwise(F.array(F.lit(0)))))
     return p.join(b, [key, SALT_COL], how).drop(SALT_COL)
