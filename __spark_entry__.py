@@ -80,6 +80,18 @@ def q_tag_filter_dnf(spark, sf_dir):
     return docs.filter(pred).select("doc_id", "lang", "source")
 
 
+def q_tag_filter_pushdown(spark, sf_dir):
+    """Same DNF as q_tag_filter_dnf but over PROMOTED flat tag columns
+    — the 100 TB layout where the predicate lands in PushedFilters and
+    skips row groups at the scan (map lookups never can)."""
+    from pbf2json_spark.functions.tagpredicate import \
+        compile_tag_predicate_flat
+    docs = _load(spark, sf_dir, "documents")
+    pred = compile_tag_predicate_flat(
+        "lang~en+source~src3,lang~zh", {"lang": "lang", "source": "source"})
+    return docs.filter(pred).select("doc_id", "lang", "source")
+
+
 def q_order_denorm(spark, sf_dir):
     orders = _load(spark, sf_dir, "orders")
     li = _load(spark, sf_dir, "lineitem")
@@ -438,6 +450,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_tag_filter_dnf": q_tag_filter_dnf,
+        "q_tag_filter_pushdown": q_tag_filter_pushdown,
         "q_order_denorm": q_order_denorm,
         "q_argmax_pick": q_argmax_pick,
         "q_bounds_agg": q_bounds_agg,
@@ -777,6 +790,10 @@ def oracle_sql() -> dict[str, str]:
         "q_tag_filter_dnf": (
             "SELECT doc_id, lang, source FROM documents "
             "WHERE (lang = 'en' AND source = 'src3') OR lang = 'zh'"),
+        "q_tag_filter_pushdown": (
+            "SELECT doc_id, lang, source FROM documents "
+            "WHERE (lang IS NOT NULL AND lang = 'en' AND source IS NOT NULL "
+            "AND source = 'src3') OR (lang IS NOT NULL AND lang = 'zh')"),
         "q_order_denorm": ("""
 SELECT o_orderkey, count(*) AS n_items,
        round(sum(l_quantity), 6) AS sum_qty,

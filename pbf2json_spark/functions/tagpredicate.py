@@ -6,11 +6,16 @@ tag key that must be present, optionally ``key~value`` requiring
 equality.  Multiple '~' split like Go's strings.Split: only the second
 segment is the value (``a~b~c`` means key 'a' must equal 'b').
 
-The compiled form is a single Column expression, so Catalyst pushes the
-whole DNF into the scan (predicate pushdown is the reference's pass-1
-"bitmask the matching elements" trick, for free — SURVEY.md §4).
-Matching is evaluated on *raw* (un-trimmed) tags, as in the reference
-(trimTags runs at emit time only, pbf2json.go:238,285,371).
+The compiled form is a single Column expression evaluated inside the
+scan stage's whole-stage codegen (the reference's pass-1 "bitmask the
+matching elements" trick as a filter — SURVEY.md §4).  Parquet cannot
+push MAP-key lookups into row-group statistics, so for 100 TB tables
+use ``compile_tag_predicate_flat`` over promoted top-level tag columns
+(the standard OSM-at-scale layout: hot keys like building/amenity
+stored as nullable string columns) — that form lands in PushedFilters
+and skips row groups at the scan.  Matching is evaluated on *raw*
+(un-trimmed) tags, as in the reference (trimTags runs at emit time
+only, pbf2json.go:238,285,371).
 """
 
 from __future__ import annotations
@@ -35,6 +40,34 @@ def compile_tag_predicate(spec: str, tags_col: str = "tags") -> Column:
             cond = F.map_contains_key(tags, F.lit(key))
             if len(parts) > 1:
                 cond = cond & (F.element_at(tags, F.lit(key)) == F.lit(parts[1]))
+            conds.append(cond)
+        group_exprs.append(reduce(lambda a, b: a & b, conds))
+    return reduce(lambda a, b: a | b, group_exprs)
+
+
+def compile_tag_predicate_flat(spec: str, columns: dict[str, str]) -> Column:
+    """The same DNF grammar over PROMOTED tag columns: `columns` maps
+    tag key -> top-level column name (null = tag absent).  Because the
+    result references plain columns, Catalyst pushes it into the
+    parquet scan (PushedFilters), which map lookups can never achieve.
+    Keys without a promoted column raise — silent fallback would
+    silently change scan cost by 100x at scale."""
+    if not spec:
+        raise ValueError("empty tag spec: you must specify tags to match against")
+    group_exprs = []
+    for group in spec.split(","):
+        conds = []
+        for term in group.split("+"):
+            parts = term.split("~")
+            key = parts[0]
+            if key not in columns:
+                raise KeyError(
+                    f"tag key {key!r} has no promoted column; promote it "
+                    f"or use compile_tag_predicate on the map column")
+            col = F.col(columns[key])
+            cond = col.isNotNull()
+            if len(parts) > 1:
+                cond = cond & (col == F.lit(parts[1]))
             conds.append(cond)
         group_exprs.append(reduce(lambda a, b: a & b, conds))
     return reduce(lambda a, b: a | b, group_exprs)
