@@ -287,31 +287,46 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", _simhash_udf(tok_hashes).alias("simhash"))
 
 
-def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs with hamming(simhash) <= max_hamming, candidates
-    from 4x15-bit chunk equality (pigeonhole: <=3 differing bits leave
-    at least one chunk equal; larger max_hamming keeps the same
-    banding, making the candidate set — and the oracle — explicitly
-    banding-limited)."""
-    sig = simhash_signatures(docs)
-    chunks = sig.select(
-        "doc_id", "simhash",
+def hash_near_pairs(df: DataFrame, hash_col: str, max_hamming: int,
+                    id_col: str = "doc_id", bits: int = 64,
+                    n_chunks: int = 4) -> DataFrame:
+    """Generic banded hamming near-dup join over an integer hash column
+    (SimHash, image phash, ...): candidates must share one of n_chunks
+    equal-width chunks (pigeonhole: hamming <= n_chunks-1 is ALWAYS
+    found; larger max_hamming keeps the same banding, so the candidate
+    set is explicitly banding-limited), verified by exact popcount.
+    Returns (id_a, id_b, hamming); all JVM-side."""
+    chunk_bits = bits // n_chunks
+    mask = (1 << chunk_bits) - 1
+    h = F.col(hash_col)
+    chunks = df.select(
+        F.col(id_col), h.alias("_h"),
         F.explode(F.array(*[
             F.struct(F.lit(c).alias("chunk"),
-                     F.shiftright("simhash", SIMHASH_CHUNK_BITS * c)
-                      .bitwiseAND(F.lit(SIMHASH_CHUNK_MASK)).alias("val"))
-            for c in range(SIMHASH_CHUNKS)])).alias("cv"),
-    ).select("doc_id", "simhash",
+                     F.shiftright(h, chunk_bits * c)
+                      .bitwiseAND(F.lit(mask)).alias("val"))
+            for c in range(n_chunks)])).alias("cv"),
+    ).select(id_col, "_h",
              F.col("cv.chunk").alias("chunk"), F.col("cv.val").alias("val"))
     a, b = chunks.alias("a"), chunks.alias("b")
     cand = (a.join(b, (F.col("a.chunk") == F.col("b.chunk"))
                    & (F.col("a.val") == F.col("b.val"))
-                   & (F.col("a.doc_id") < F.col("b.doc_id")))
-             .select(F.col("a.doc_id").alias("doc_a"),
-                     F.col("b.doc_id").alias("doc_b"),
-                     F.col("a.simhash").alias("sh_a"),
-                     F.col("b.simhash").alias("sh_b"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+             .select(F.col(f"a.{id_col}").alias("id_a"),
+                     F.col(f"b.{id_col}").alias("id_b"),
+                     F.col("a._h").alias("h_a"),
+                     F.col("b._h").alias("h_b"))
              .distinct())
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int")
-    return (cand.select("doc_a", "doc_b", hamming.alias("hamming"))
+    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).cast("int")
+    return (cand.select("id_a", "id_b", hamming.alias("hamming"))
             .filter(F.col("hamming") <= max_hamming))
+
+
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming, candidates
+    from 4x15-bit chunk equality (see hash_near_pairs)."""
+    sig = simhash_signatures(docs)
+    out = hash_near_pairs(sig, "simhash", max_hamming, id_col="doc_id",
+                          bits=SIMHASH_BITS, n_chunks=SIMHASH_CHUNKS)
+    return out.select(F.col("id_a").alias("doc_a"),
+                      F.col("id_b").alias("doc_b"), "hamming")

@@ -132,3 +132,15 @@ def sample_frames(videos: DataFrame, every_n: int = 2,
     return videos.select(
         F.col(id_col), F.col(bytes_col), F.col(nframes_col)
     ).mapInPandas(gen, FRAME_SCHEMA)
+
+
+def phash_near_dup(images, max_hamming: int = 6):
+    """(id_a, id_b, hamming): perceptual near-duplicate image pairs by
+    banded phash hamming join (dedup.hash_near_pairs over the table's
+    existing int64 phash column — pure JVM, the bytes column is never
+    read).  Pigeonhole guarantees hamming <= 3 at the default 4x16-bit
+    banding; larger max_hamming is banding-limited, which is the
+    standard recall/cost dial for picture dedup at 10^12 rows."""
+    from .dedup import hash_near_pairs
+    return hash_near_pairs(images, "phash", max_hamming,
+                           id_col="image_id", bits=64, n_chunks=4)

@@ -167,6 +167,46 @@ def test_ann_lsh_recall_vs_brute_force(spark):
     assert all(str(v) == q for q, v in r1.items())
 
 
+def test_phash_near_dup_pairs(spark):
+    """Exact-duplicate pixels -> hamming 0; mildly noised copy -> small
+    hamming; pairs match a brute-force popcount twin."""
+    from pbf2json_spark.functions import imagecodec as ic
+    from pbf2json_spark.operators.multimodal import phash_near_dup
+    rng = np.random.Generator(np.random.Philox(key=np.uint64(5)))
+    rows = []
+    hashes = {}
+    for i in range(12):
+        px = ic.gen_pixels(i, 32, 32)
+        if i == 10:                      # exact duplicate of image 0
+            px = ic.gen_pixels(0, 32, 32)
+        if i == 11:                      # noised copy of image 1
+            px = np.clip(ic.gen_pixels(1, 32, 32).astype(np.int32)
+                         + rng.integers(-2, 3, (32, 32, 3)),
+                         0, 255).astype(np.uint8)
+        ph = int(ic.phash64(px))
+        hashes[f"img{i}"] = ph
+        rows.append((f"img{i}", ic.encode_image(px, "raw"), 32, 32,
+                     "raw", f"c{i}", ph))
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string, "
+              "caption string, phash long")
+    got = {(r.id_a, r.id_b): r.hamming
+           for r in phash_near_dup(df, max_hamming=3).collect()}
+    # brute twin with the SAME banding constraint
+    def chunks(h):
+        return {(c, (h >> (16 * c)) & 0xFFFF) for c in range(4)}
+    want = {}
+    ids = sorted(hashes)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            ham = bin((hashes[a] ^ hashes[b]) & (2**64 - 1)).count("1")
+            if ham <= 3 and chunks(hashes[a]) & chunks(hashes[b]):
+                want[(a, b)] = ham
+    assert got == want
+    assert got[("img0", "img10")] == 0          # exact dup always found
+    assert ("img1", "img11") in got             # noised copy is near
+
+
 def test_image_features_and_resize(spark):
     imgs = synth.images_df(spark, 24, partitions=2)
     feats = multimodal.image_features(imgs).collect()
