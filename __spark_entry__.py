@@ -214,7 +214,7 @@ def q_ann_lsh_topk(spark, sf_dir):
 def q_embedding_near_dup(spark, sf_dir):
     from pbf2json_spark.operators.similarity import embedding_near_dup_pairs
     return embedding_near_dup_pairs(
-        _load(spark, sf_dir, "embeddings"), tau=0.8)
+        _load(spark, sf_dir, "embeddings"), tau=0.8, dim=64)
 
 
 def _cell_udf(res: int):

@@ -308,6 +308,9 @@ def hash_near_pairs(df: DataFrame, hash_col: str, max_hamming: int,
             for c in range(n_chunks)])).alias("cv"),
     ).select(id_col, "_h",
              F.col("cv.chunk").alias("chunk"), F.col("cv.val").alias("val"))
+    # both sides of the self-join read this — without the persist the
+    # upstream signature pipeline (hashing + any UDF) evaluates twice
+    chunks = chunks.persist()
     a, b = chunks.alias("a"), chunks.alias("b")
     cand = (a.join(b, (F.col("a.chunk") == F.col("b.chunk"))
                    & (F.col("a.val") == F.col("b.val"))

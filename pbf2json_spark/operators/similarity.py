@@ -236,28 +236,79 @@ def _grid_udf(tau: float, n_proj: int = NEAR_DUP_PROJ,
 
 def embedding_near_dup_pairs(embeddings: DataFrame, tau: float = 0.95,
                              id_col: str = "vec_id",
-                             block_col: str = "label") -> DataFrame:
+                             block_col: str = "label",
+                             dim: int | None = None) -> DataFrame:
     """(id_a, id_b, cos) pairs with cosine >= tau inside `block_col`
-    blocks — output identical to the blocked all-pairs form, but the
-    candidate join is (block, grid-cell) equi with one side exploded to
-    its 3^n neighbor cells: an EXACT prefilter (any pair with
-    cos >= tau projects within one bucket width on every direction),
-    so the quadratic blowup is bounded by grid-cell occupancy instead
-    of block size."""
-    grid_self = _grid_udf(tau, neighbors=False)
-    grid_nbrs = _grid_udf(tau, neighbors=True)
-    a = embeddings.select(F.col(id_col).alias("id_a"),
-                          F.col(block_col).alias("blk"),
-                          F.col("embedding").alias("emb_a"),
-                          F.explode(grid_nbrs("embedding")).alias("cell"))
-    b = embeddings.select(F.col(id_col).alias("id_b"),
-                          F.col(block_col).alias("blk_b"),
-                          F.col("embedding").alias("emb_b"),
-                          F.explode(grid_self("embedding")).alias("cell_b"))
-    pairs = a.join(b, (F.col("blk") == F.col("blk_b"))
-                   & (F.col("cell") == F.col("cell_b"))
-                   & (F.col("id_a") < F.col("id_b")))
-    return (pairs.select(
-        "id_a", "id_b",
-        F.round(cosine_col(F.col("emb_a"), F.col("emb_b")), 9).alias("cos"))
-        .filter(F.col("cos") >= tau))
+    blocks — output identical to the blocked all-pairs form.  When the
+    grid can discriminate, the candidate join is (block, grid-cell)
+    equi with one side exploded to its 3^n neighbor cells: an EXACT
+    prefilter (any pair with cos >= tau projects within one bucket
+    width on every direction), bounding the quadratic blowup by
+    grid-cell occupancy instead of block size.
+
+    Concentration-of-measure guard: unit vectors project onto a fixed
+    direction with spread ~1/sqrt(dim), so when the exactness-required
+    bucket width sqrt(2-2*tau) exceeds ~6/sqrt(dim) EVERY vector lands
+    in the same one or two buckets and the grid is pure overhead (27x
+    explode for zero pruning) — measured 6x slower than the plain
+    blocked join on isotropic 64-dim data at tau=0.8.  In that regime
+    the operator falls back to the plain blocked join (same output);
+    the grid engages for low-dim embeddings or very high tau, i.e.
+    tau > 1 - 18/dim."""
+    if dim is None:
+        first = embeddings.select(F.size("embedding").alias("d")).first()
+        dim = int(first["d"]) if first else 0
+    w = 1.01 * float(np.sqrt(max(2.0 - 2.0 * tau, 1e-12)))
+    grid_helps = dim > 0 and w < 6.0 / np.sqrt(dim)
+
+    if grid_helps:
+        grid_self = _grid_udf(tau, neighbors=False)
+        grid_nbrs = _grid_udf(tau, neighbors=True)
+        a = embeddings.select(F.col(id_col).alias("id_a"),
+                              F.col(block_col).alias("blk"),
+                              F.col("embedding").alias("emb_a"),
+                              F.explode(grid_nbrs("embedding")).alias("cell"))
+        b = embeddings.select(F.col(id_col).alias("id_b"),
+                              F.col(block_col).alias("blk_b"),
+                              F.col("embedding").alias("emb_b"),
+                              F.explode(grid_self("embedding")).alias("cell_b"))
+        pairs = a.join(b, (F.col("blk") == F.col("blk_b"))
+                       & (F.col("cell") == F.col("cell_b"))
+                       & (F.col("id_a") < F.col("id_b")))
+    else:
+        a = embeddings.select(F.col(id_col).alias("id_a"),
+                              F.col(block_col).alias("blk"),
+                              F.col("embedding").alias("emb_a"))
+        b = embeddings.select(F.col(id_col).alias("id_b"),
+                              F.col(block_col).alias("blk_b"),
+                              F.col("embedding").alias("emb_b"))
+        pairs = a.join(b, (F.col("blk") == F.col("blk_b"))
+                       & (F.col("id_a") < F.col("id_b")))
+    # vectorized verify: one Arrow pass computes all pair cosines with
+    # the same sequential dim fold as the JVM/SQL forms (the per-pair
+    # interpreted zip_with fold was ~25us/pair — 5s for 200k pairs)
+    id_t = embeddings.schema[id_col].dataType.simpleString()
+    raw_schema = f"id_a {id_t}, id_b {id_t}, cos double"
+
+    def verify(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            a = np.stack(pdf["emb_a"].to_numpy()).astype(np.float64)
+            b = np.stack(pdf["emb_b"].to_numpy()).astype(np.float64)
+            dot = np.zeros(len(pdf))
+            na = np.zeros(len(pdf))
+            nb = np.zeros(len(pdf))
+            for i in range(a.shape[1]):
+                dot += a[:, i] * b[:, i]
+                na += a[:, i] * a[:, i]
+                nb += b[:, i] * b[:, i]
+            cos = dot / (np.sqrt(na) * np.sqrt(nb))
+            yield pd.DataFrame({"id_a": pdf["id_a"], "id_b": pdf["id_b"],
+                                "cos": cos})
+
+    scored = pairs.select("id_a", "id_b", "emb_a", "emb_b") \
+                  .mapInPandas(verify, raw_schema)
+    return (scored.select("id_a", "id_b",
+                          F.round(F.col("cos"), 9).alias("cos"))
+            .filter(F.col("cos") >= tau))

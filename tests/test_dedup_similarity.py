@@ -167,6 +167,41 @@ def test_ann_lsh_recall_vs_brute_force(spark):
     assert all(str(v) == q for q, v in r1.items())
 
 
+def test_embedding_near_dup_grid_matches_all_pairs(spark):
+    """Grid-engaged regime (low dim): output must equal the brute
+    blocked all-pairs twin, including pairs straddling cell borders."""
+    rng = np.random.Generator(np.random.Philox(key=np.uint64(17)))
+    base = rng.normal(size=(12, 4))
+    rows = []
+    vecs = {}
+    for i in range(36):
+        v = base[i % 12] + rng.normal(0, 0.02 if i >= 12 else 0.0, 4)
+        vecs[i] = v
+        rows.append((i, [float(x) for x in v], f"l{i % 3}"))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label string")
+    tau = 0.97
+    from pbf2json_spark.operators import similarity as sim
+    # confirm the grid path engages at this (tau, dim)
+    assert 1.01 * np.sqrt(2 - 2 * tau) < 6.0 / np.sqrt(4)
+    got = {(r.id_a, r.id_b): r.cos
+           for r in sim.embedding_near_dup_pairs(
+               df, tau=tau, dim=4).collect()}
+    # brute twin on float32-cast vectors (the Arrow storage dtype)
+    want = {}
+    for i in range(36):
+        for j in range(i + 1, 36):
+            if i % 3 != j % 3:
+                continue
+            a = vecs[i].astype(np.float32).astype(np.float64)
+            b = vecs[j].astype(np.float32).astype(np.float64)
+            c = round(float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))), 9)
+            if c >= tau:
+                want[(i, j)] = c
+    assert set(got) == set(want), set(got) ^ set(want)
+    assert want, "fixture must produce near-dup pairs"
+
+
 def test_phash_near_dup_pairs(spark):
     """Exact-duplicate pixels -> hamming 0; mildly noised copy -> small
     hamming; pairs match a brute-force popcount twin."""
