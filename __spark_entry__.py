@@ -349,9 +349,10 @@ def _osm_driver_tables(spark, sf_dir):
          .otherwise(empty).alias("tags"))
 
     nord = orders.count()
-    word = orders.select(F.col("o_orderkey").cast("long").alias("wwid")) \
-                 .withColumn("wseq", F.row_number().over(
-                     Window.orderBy("wwid")).cast("long"))
+    from pbf2json_spark.plans.ordering import global_seq
+    word = global_seq(
+        orders.select(F.col("o_orderkey").cast("long").alias("wwid")),
+        "wwid", out_col="wseq")
     rel = part.select(F.col("p_partkey").cast("long").alias("rel_id"))
     rid = F.col("rel_id")
     memb = rel.select(

@@ -74,6 +74,46 @@ def ingest_images(images_stream: DataFrame, out_dir: str,
     return writer.start()
 
 
+def streaming_first_seen(stream: DataFrame, key_col: str,
+                         id_col: str) -> DataFrame:
+    """Stateful streaming exact-dedup: emits ONE row per never-before-
+    seen key — (key, representative id, batch-local dup count) — and
+    suppresses every later occurrence across micro-batches (state =
+    per-key running count, kept in the state store, recovered from the
+    streaming checkpoint on restart).  This is exact_dedup's streaming
+    twin via applyInPandasWithState: the custom stateful operator shape
+    for training-data ingest where duplicates must be dropped ONLINE,
+    not in a nightly batch.
+
+    Grouping is by the content key, so state is partitioned exactly
+    like the batch groupBy and hot keys shard across the state store's
+    shuffle partitions."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (f"{key_col} string, rep_{id_col} string, "
+                  f"n_in_batch long")
+    state_schema = "n long"
+
+    def first_seen(key, pdfs, state):
+        seen_before = state.exists
+        prev = state.get[0] if seen_before else 0
+        rep = None
+        n = 0
+        for pdf in pdfs:
+            if rep is None and len(pdf):
+                rep = str(pdf[id_col].iloc[0])
+            n += len(pdf)
+        state.update((prev + n,))
+        if not seen_before and rep is not None:
+            yield pd.DataFrame({key_col: [key[0]],
+                                f"rep_{id_col}": [rep],
+                                "n_in_batch": [n]})
+
+    return (stream.groupBy(key_col)
+            .applyInPandasWithState(first_seen, out_schema, state_schema,
+                                    "update", GroupStateTimeout.NoTimeout))
+
+
 def windowed_cell_counts(geo_events: DataFrame, window: str = "1 minute",
                          watermark: str = "2 minutes") -> DataFrame:
     """Event-time windowed counts per cell with late-data watermarking.

@@ -106,3 +106,87 @@ def test_windowed_cell_counts_batch_semantics(spark):
     out = {(r.win_start.minute, r.cell): r.n
            for r in windowed_cell_counts(df).collect()}
     assert out == {(0, 1): 2, (1, 2): 1}
+
+
+def test_tableio_partitioned_write_prunes_at_scan(spark, tmp_path):
+    """Cell-locality layout (north rule: 'Iceberg table partitioned for
+    cell locality'): a TableIO write partitioned by a coarse cell column
+    must let a cell-filtered read prune partitions AT THE SCAN (the plan
+    carries the predicate as a PartitionFilter, not a post-scan filter),
+    and lineage/manifest survive the partitioned layout."""
+    import io as _io
+    import re
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    tio = TableIO(str(tmp_path / "tables"))
+    df = spark.range(0, 2000).select(
+        F.col("id"),
+        (F.col("id") % 8).alias("coarse_cell"),
+        (F.col("id") * 2.0).alias("v"))
+    man = tio.write(df, "pts", content_key="k1",
+                    partition_by=["coarse_cell"])
+    assert man["rows"] == 2000 and man["partition_rows"]
+
+    rd = tio.read(spark, "pts").filter(F.col("coarse_cell") == 3)
+    buf = _io.StringIO()
+    with redirect_stdout(buf):
+        rd.explain("formatted")
+    plan = buf.getvalue()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "coarse_cell" in m.group(1), plan[:2000]
+    assert rd.count() == 250
+
+
+def test_streaming_first_seen_dedup_across_batches(spark, tmp_path):
+    """Stateful streaming dedup: keys first seen in batch 1 are
+    suppressed in batch 2 (state survives via the streaming
+    checkpoint), new keys still emit."""
+    import json as _json
+
+    from pbf2json_spark.streaming.ingest import streaming_first_seen
+
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    ck = str(tmp_path / "ck")
+    src.mkdir()
+    out.mkdir()
+
+    def run_batch(filename, rows):
+        with open(src / filename, "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+        stream = (spark.readStream
+                  .schema("doc_id string, text_md5 string")
+                  .json(str(src)))
+        dedup = streaming_first_seen(stream, "text_md5", "doc_id")
+
+        def sink(batch_df, epoch_id):
+            batch_df.write.mode("append").parquet(str(out / "data"))
+
+        q = (dedup.writeStream.foreachBatch(sink)
+             .outputMode("update")
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run_batch("b1.json", [
+        {"doc_id": "d1", "text_md5": "A"},
+        {"doc_id": "d2", "text_md5": "B"},
+        {"doc_id": "d3", "text_md5": "A"},   # in-batch dup
+    ])
+    rows1 = {r.text_md5: (r.rep_doc_id, r.n_in_batch)
+             for r in spark.read.parquet(str(out / "data")).collect()}
+    assert set(rows1) == {"A", "B"}
+    assert rows1["A"][1] == 2               # both A rows counted
+
+    run_batch("b2.json", [
+        {"doc_id": "d4", "text_md5": "A"},   # cross-batch dup: suppressed
+        {"doc_id": "d5", "text_md5": "C"},   # new key: emitted
+    ])
+    rows2 = {r.text_md5 for r in
+             spark.read.parquet(str(out / "data")).collect()}
+    assert rows2 == {"A", "B", "C"}
+    n_rows = spark.read.parquet(str(out / "data")).count()
+    assert n_rows == 3                       # A was NOT re-emitted
