@@ -10,12 +10,15 @@
   re-rank.  Hyperplanes are deterministic (Philox) so results are
   reproducible; recall is tested against the brute-force baseline.
 - embedding-cosine near-duplicates: pairs with cosine >= tau, blocked
-  by label AND prefiltered by an EXACT projection grid: unit-normalized
-  vectors with cos >= tau are within sqrt(2-2*tau) of each other, so
-  their projections on any fixed unit direction differ by at most that
-  width — bucketing n_proj directions makes the candidate join
-  same-or-adjacent-cell instead of all-pairs, without changing the
-  output (the grid is a provable superset of the tau-ball).
+  by label AND (when the geometry permits — see the concentration
+  guard in the operator) prefiltered by an EXACT projection grid:
+  unit-normalized vectors with cos >= tau are within sqrt(2-2*tau) of
+  each other, so their projections on any fixed unit direction differ
+  by at most that width — bucketing n_proj directions makes the
+  candidate join same-or-adjacent-cell instead of all-pairs, without
+  changing the output (the grid is a provable superset of the
+  tau-ball).  Pair verification is one Arrow pass with a sequential
+  numpy dim fold.
 
 Float-parity note: every dot product that must match the DuckDB
 oracles is accumulated as a SEQUENTIAL left fold over dimensions

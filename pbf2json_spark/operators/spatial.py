@@ -15,14 +15,17 @@ Design per operator (all range-like joins reduced to cell equi joins):
   single task.  Explicit hot-key salting lives in plans/salting.py and
   applies where a SHUFFLE hash join exists (the denormalize node
   join); this join is broadcast, so salting has nothing to split here.
-- knn: iterative cell-disk expansion. Round r joins still-unsatisfied
-  queries' k-disk cells (exploded, broadcast) against points bucketed at
-  the same res, re-ranks by haversine with a JVM-side expression (whole-
-  stage codegen, no Python), and terminates a query when its kth
-  distance <= the conservative disk-exit bound.  Unsatisfied queries
-  escalate the ring (x2) up to max_rounds, then brute-force the
-  leftovers.  This is the reference-free operator the survey maps from
-  'H3 k-ring expansion + distance re-rank'.
+- knn: ADAPTIVE-RESOLUTION cell-disk expansion.  A bounded coarse
+  density aggregate picks a per-query cell level (fine cells in
+  zipfian hotspots, coarse in sparse regions) so the initial disk is
+  expected to hold ~margin*k points; rounds are (lvl, cell)-equi joins
+  re-ranked by a JVM-side haversine under one rank<=k window
+  (WindowGroupLimit partial top-k); a query terminates when its kth
+  distance <= the conservative disk-exit bound.  Escalation grows the
+  ring on partial results and coarsens the level on empty disks;
+  survivors fold into one brute-force scan when its priced op count
+  fits BRUTE_OPS_BUDGET.  This is the reference-free operator the
+  survey maps from 'H3 k-ring expansion + distance re-rank'.
 - tile_assignment: decode image bytes (mapInPandas batches), block-
   reduce pixels to a gxg grid, map each block to the geo cell under its
   footprint, and aggregate per cell — raster->vector, 'assign decoded
