@@ -51,21 +51,22 @@ class Engine:
         return matched_nodes(nodes, tag_spec)
 
     def denormalize_ways(self, nodes, ways, tag_spec, waynodes=False,
-                         strict_parity=True):
+                         strict_parity=True, salt_hot_refs=0):
         from .operators.denormalize import denormalize_ways
-        return denormalize_ways(nodes, ways, tag_spec, waynodes, strict_parity)
+        return denormalize_ways(nodes, ways, tag_spec, waynodes,
+                                strict_parity, salt_hot_refs)
 
     def denormalize_relations(self, nodes, ways, relations, tag_spec,
-                              strict_parity=True):
+                              strict_parity=True, salt_hot_refs=0):
         from .operators.denormalize import denormalize_relations
         return denormalize_relations(nodes, ways, relations, tag_spec,
-                                     strict_parity)
+                                     strict_parity, salt_hot_refs)
 
     def run(self, nodes, ways, relations, tag_spec, waynodes=False,
-            strict_parity=True) -> DataFrame:
+            strict_parity=True, salt_hot_refs=0) -> DataFrame:
         from .operators.denormalize import run_pipeline
         return run_pipeline(nodes, ways, relations, tag_spec, waynodes,
-                            strict_parity)
+                            strict_parity, salt_hot_refs)
 
     # -- spatial layer ---------------------------------------------------
     def attach_geo(self, images, res_list=(9, 12)):

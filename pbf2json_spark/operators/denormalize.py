@@ -220,11 +220,13 @@ def matched_nodes(nodes: DataFrame, tag_spec: str) -> DataFrame:
 
 def denormalize_ways(nodes: DataFrame, ways: DataFrame, tag_spec: str,
                      waynodes: bool = False,
-                     strict_parity: bool = True) -> DataFrame:
+                     strict_parity: bool = True,
+                     salt_hot_refs: int = 0) -> DataFrame:
     """Way output rows (pbf2json.go:271-292): id, type, tags, centroid,
-    bounds[, nodes].  Ways failing to fully denormalize are dropped."""
+    bounds[, nodes].  Ways failing to fully denormalize are dropped.
+    salt_hot_refs > 0 salts the node-lookup join (plans/salting.py)."""
     matched = ways.filter(has_tags() & compile_tag_predicate(tag_spec))
-    arr = way_point_arrays(matched, node_store(nodes))
+    arr = way_point_arrays(matched, node_store(nodes), salt_hot_refs)
     complete = arr.filter(F.col("npts") == F.col("nrefs"))
     cb = _attach_centroid_bounds(complete, strict_parity)
     if waynodes and strict_parity:
@@ -276,7 +278,8 @@ def _truncate_array_udf(vals: pd.Series) -> pd.Series:
 
 def denormalize_relations(nodes: DataFrame, ways: DataFrame,
                           relations: DataFrame, tag_spec: str,
-                          strict_parity: bool = True) -> DataFrame:
+                          strict_parity: bool = True,
+                          salt_hot_refs: int = 0) -> DataFrame:
     """Relation output rows (pbf2json.go:310-374)."""
     store = node_store(nodes)
 
@@ -296,7 +299,8 @@ def denormalize_relations(nodes: DataFrame, ways: DataFrame,
     # the RelWays 'bitmask': only ways actually referenced get resolved
     rel_ways = ways.join(
         memb.select(F.col("way_id").alias("id")).distinct(), "id", "leftsemi")
-    arr = way_point_arrays(rel_ways, store).withColumnRenamed("id", "way_id")
+    arr = way_point_arrays(rel_ways, store, salt_hot_refs) \
+        .withColumnRenamed("id", "way_id")
 
     j = memb.join(arr, "way_id", "left")
     j = j.withColumn(
@@ -386,17 +390,20 @@ def _trunc_scalar(v: pd.Series) -> pd.Series:
 
 def run_pipeline(nodes: DataFrame, ways: DataFrame, relations: DataFrame,
                  tag_spec: str, waynodes: bool = False,
-                 strict_parity: bool = True) -> DataFrame:
+                 strict_parity: bool = True,
+                 salt_hot_refs: int = 0) -> DataFrame:
     """The full reference job: matched nodes + denormalized ways +
     denormalized relations, keyed by gid (test/end-to-end.js:28)."""
     n = matched_nodes(nodes, tag_spec).select(
         F.concat(F.col("type"), F.lit(":"), F.col("id")).alias("gid"),
         F.to_json(F.struct("id", "type", "lat", "lon", "tags")).alias("json"))
-    w = denormalize_ways(nodes, ways, tag_spec, waynodes, strict_parity)
+    w = denormalize_ways(nodes, ways, tag_spec, waynodes, strict_parity,
+                         salt_hot_refs)
     w = w.select(
         F.concat(F.col("type"), F.lit(":"), F.col("id")).alias("gid"),
         F.to_json(F.struct(*[F.col(c) for c in w.columns])).alias("json"))
-    r = denormalize_relations(nodes, ways, relations, tag_spec, strict_parity)
+    r = denormalize_relations(nodes, ways, relations, tag_spec, strict_parity,
+                              salt_hot_refs)
     r = r.select(
         F.concat(F.col("type"), F.lit(":"), F.col("id")).alias("gid"),
         F.to_json(F.struct("id", "type", "tags", "centroid", "bounds")).alias("json"))

@@ -275,3 +275,31 @@ def test_frame_sampling_shapes(spark):
     assert sorted(by_vid["v1"]) == [0, 2]
     v0_frame = [r for r in out if r.video_id == "v0" and r.frame_idx == 0][0]
     assert len(bytes(v0_frame.frame_bytes)) == 1024 // 8
+
+
+def test_image_duplicates_pipeline(spark):
+    """phash candidates -> caption refine -> pixel-PSNR verify: exact
+    dups confirm (psnr 999), caption-mismatched near-phashes drop."""
+    from pbf2json_spark.functions import imagecodec as ic
+    from pbf2json_spark.operators.multimodal import (image_duplicates,
+                                                     verify_pixel_duplicates)
+    rows = []
+    for i in range(8):
+        px = ic.gen_pixels(i, 32, 32)
+        cap = f"cap{i}"
+        if i == 6:            # exact pixel+caption duplicate of image 0
+            px, cap = ic.gen_pixels(0, 32, 32), "cap0"
+        if i == 7:            # same pixels as image 1, DIFFERENT caption
+            px = ic.gen_pixels(1, 32, 32)
+        rows.append((f"img{i}", ic.encode_image(px, "raw"), 32, 32,
+                     "raw", cap, int(ic.phash64(px))))
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string, "
+              "caption string, phash long")
+    cand = image_duplicates(df, max_hamming=3)
+    got = {(r.id_a, r.id_b) for r in cand.collect()}
+    assert ("img0", "img6") in got
+    assert ("img1", "img7") not in got      # caption mismatch filtered
+    verified = verify_pixel_duplicates(df, cand).collect()
+    v = {(r.id_a, r.id_b): (r.psnr, r.is_dup) for r in verified}
+    assert v[("img0", "img6")] == (999.0, True)
