@@ -39,6 +39,9 @@ def global_seq(df: DataFrame, order_col: str,
                .persist())
     counts = {r[PART_COL]: r["count"] for r in
               parts.groupBy(PART_COL).count().collect()}
+    if not counts:  # empty input: create_map() with zero args is invalid
+        return (parts.drop(PART_COL)
+                .withColumn(out_col, F.lit(None).cast("long")))
     offsets, acc = {}, 0
     for pid in sorted(counts):
         offsets[pid] = acc

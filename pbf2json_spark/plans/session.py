@@ -109,6 +109,17 @@ def ship_package(spark: SparkSession) -> None:
 
     import pbf2json_spark
 
+    # spark-submit --py-files already distributed the package?  Adding
+    # a second zip with the same name makes executors fail with
+    # "exists and does not match contents" — skip instead.
+    try:
+        existing = spark.sparkContext._jsc.sc().listFiles()
+        for i in range(existing.size()):
+            if "pbf2json_spark.zip" in str(existing.apply(i)):
+                return
+    except Exception:
+        pass
+
     pkg_dir = os.path.dirname(os.path.abspath(pbf2json_spark.__file__))
     zip_path = os.path.join(spark.sparkContext._temp_dir, "pbf2json_spark.zip")
     if not os.path.exists(zip_path):

@@ -20,3 +20,9 @@ def test_global_seq_matches_window(spark):
     w = {r.k: r.seq for r in want.collect()}
     assert g == w
     assert g[int(keys.min())] == 1 and g[int(keys.max())] == 50_000
+
+
+def test_global_seq_empty_input(spark):
+    df = spark.range(0).select(F.col("id").alias("k"))
+    out = global_seq(df, "k")
+    assert out.count() == 0 and "seq" in out.columns
