@@ -231,3 +231,20 @@ class TestDistances:
         d2 = float(gk.haversine_m(c, d, a, b))
         assert d1 == pytest.approx(d2, rel=1e-9, abs=1e-9)
         assert d1 >= 0
+
+
+class TestRoundtrip7FastPath:
+    def test_matches_formatter_on_random_and_adversarial(self):
+        rng = np.random.default_rng(99)
+        samples = [
+            rng.uniform(-180, 180, 2_000_000),
+            np.round(rng.uniform(-90, 90, 100_000), 7),     # on-grid
+            (np.arange(-1000, 1000) + 0.5) * 1e-7,          # exact midpoints
+            (np.arange(1, 2000) * 1e-7) + 0.5e-7,           # more midpoints
+            gk.truncate_coords(rng.uniform(-90, 90, 200_000)),
+        ]
+        for a in samples:
+            want = np.char.mod("%.7f", a).astype(np.float64)
+            got = gk.roundtrip7(a)
+            assert np.array_equal(got, want), \
+                a[np.nonzero(got != want)[0][:3]]
