@@ -301,6 +301,12 @@ def denormalize_relations(nodes: DataFrame, ways: DataFrame,
         memb.select(F.col("way_id").alias("id")).distinct(), "id", "leftsemi")
     arr = way_point_arrays(rel_ways, store, salt_hot_refs) \
         .withColumnRenamed("id", "way_id")
+    # centroid/bounds are a pure function of the WAY — compute them once
+    # per distinct way here, not per member instance after the join (a
+    # popular way appearing in thousands of relations would otherwise
+    # re-run the UDAF thousands of times)
+    arr = _attach_centroid_bounds(arr, strict_parity) \
+        .select("way_id", "nrefs", "npts", "cb")
 
     j = memb.join(arr, "way_id", "left")
     j = j.withColumn(
@@ -319,8 +325,8 @@ def denormalize_relations(nodes: DataFrame, ways: DataFrame,
     else:
         ok = j.filter(~F.col("failed"))
 
-    # per-member centroid+bounds (A1-A4), then A5 argmax by bbox area
-    cb = _attach_centroid_bounds(ok, strict_parity)
+    # A5 argmax by bbox area over the per-way centroid+bounds (A1-A4)
+    cb = ok
     width = gk.EARTH_RADIUS_M * F.abs(
         F.radians(F.col("cb.e") - F.col("cb.w"))
         * F.cos(F.radians((F.col("cb.n") + F.col("cb.s")) / 2.0)))
