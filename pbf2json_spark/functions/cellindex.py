@@ -43,6 +43,7 @@ __all__ = [
     "cell_id", "decode", "parent", "cell_center", "cell_bounds",
     "disk", "cover_bbox", "cover_polygon", "disk_exit_distance_m",
     "res_of", "MAX_RES",
+    "s2_cell_id", "s2_decode", "s2_parent", "S2_MAX_LEVEL",
 ]
 
 
@@ -256,3 +257,88 @@ def disk_exit_distance_m(lat, lon, res: int, k: int):
         d_west, d_east = to_meridian(lon_w), to_meridian(lon_e)
 
     return np.minimum(np.minimum(d_south, d_north), np.minimum(d_west, d_east))
+
+
+# ---------------------------------------------------------------------------
+# quad-sphere ("S2-style") cell family
+# ---------------------------------------------------------------------------
+# The equirectangular Morton grid above is the H3-role index (fast,
+# hierarchy-friendly, but cells shrink toward the poles).  This second
+# family projects onto the 6 faces of a cube (S2's construction, with
+# the tangent uv->st transform) so cell GROUND AREA stays within ~2.5x
+# everywhere on the sphere — the property that matters when a cell id
+# doubles as a storage partition key at 10^12 rows.  Layout:
+#   id = face(3 bits) << 59 | level(5 bits) << 54 | morton(i, j)
+# distinct from the equirect ids only by convention (the two families
+# live in separate columns; nothing mixes them).
+
+S2_MAX_LEVEL = 26
+_S2_FACE_SHIFT = np.uint64(59)
+_S2_LEVEL_SHIFT = np.uint64(54)
+
+
+def _latlon_to_xyz(lat, lon):
+    la = np.radians(np.asarray(lat, dtype=np.float64))
+    lo = np.radians(np.asarray(lon, dtype=np.float64))
+    cl = np.cos(la)
+    return cl * np.cos(lo), cl * np.sin(lo), np.sin(la)
+
+
+def s2_cell_id(lat, lon, level: int):
+    """Vectorized (lat, lon) -> quad-sphere cell id at `level`
+    (2^level x 2^level cells per cube face)."""
+    if not 0 <= level <= S2_MAX_LEVEL:
+        raise ValueError(f"level must be in [0, {S2_MAX_LEVEL}]")
+    x, y, z = _latlon_to_xyz(lat, lon)
+    ax, ay, az = np.abs(x), np.abs(y), np.abs(z)
+    # dominant axis picks the face: 0:+x 1:-x 2:+y 3:-y 4:+z 5:-z
+    face = np.where(
+        (ax >= ay) & (ax >= az), np.where(x >= 0, 0, 1),
+        np.where(ay >= az, np.where(y >= 0, 2, 3),
+                 np.where(z >= 0, 4, 5))).astype(np.uint64)
+    dom = np.choose(face.astype(np.int64),
+                    [x, -x, y, -y, z, -z])
+    # (u, v) = the two non-dominant coords over the dominant one
+    u = np.choose(face.astype(np.int64), [y, -y, -x, x, y, -y]) / dom
+    v = np.choose(face.astype(np.int64), [z, z, z, z, -x, x]) / dom
+    # S2's quadratic st transform: near-uniform ground area per cell
+    def _st(p):
+        # max(.., 0) keeps the not-taken where-branch out of sqrt's
+        # domain (|p| <= 1 on the taken branch by construction)
+        return np.where(p >= 0,
+                        0.5 * np.sqrt(np.maximum(1.0 + 3.0 * p, 0.0)),
+                        1.0 - 0.5 * np.sqrt(np.maximum(1.0 - 3.0 * p, 0.0)))
+    n = np.uint64(1) << np.uint64(level)
+    i = np.clip(np.floor(_st(u) * np.float64(n)), 0, np.float64(n) - 1) \
+        .astype(np.uint64)
+    j = np.clip(np.floor(_st(v) * np.float64(n)), 0, np.float64(n) - 1) \
+        .astype(np.uint64)
+    morton = _part1by1(j) | (_part1by1(i) << np.uint64(1))
+    out = ((face << _S2_FACE_SHIFT)
+           | (np.uint64(level) << _S2_LEVEL_SHIFT) | morton)
+    return out.astype(np.uint64).view(np.int64)
+
+
+def s2_decode(cell):
+    """int64 quad-sphere cell -> (face, level, i, j) int64 arrays."""
+    c = np.asarray(cell, dtype=np.int64).view(np.uint64)
+    face = (c >> _S2_FACE_SHIFT).astype(np.int64)
+    level = ((c >> _S2_LEVEL_SHIFT) & np.uint64(0x1F)).astype(np.int64)
+    morton = c & ((np.uint64(1) << _S2_LEVEL_SHIFT) - np.uint64(1))
+    j = _unpart1by1(morton).astype(np.int64)
+    i = _unpart1by1(morton >> np.uint64(1)).astype(np.int64)
+    return face, level, i, j
+
+
+def s2_parent(cell, parent_level: int):
+    """Ancestor quad-sphere cell (containment-hierarchical: i, j shift)."""
+    face, level, i, j = s2_decode(cell)
+    if np.any(level < parent_level):
+        raise ValueError("parent_level must be <= cell level")
+    sh = (level - parent_level).astype(np.uint64)
+    iu = i.astype(np.uint64) >> sh
+    ju = j.astype(np.uint64) >> sh
+    morton = _part1by1(ju) | (_part1by1(iu) << np.uint64(1))
+    out = ((np.asarray(face, dtype=np.uint64) << _S2_FACE_SHIFT)
+           | (np.uint64(parent_level) << _S2_LEVEL_SHIFT) | morton)
+    return out.astype(np.uint64).view(np.int64)

@@ -58,10 +58,11 @@ PIP_MAX_DIM_VERTICES = 5_000_000
 # geo attachment
 # ---------------------------------------------------------------------------
 
-def make_geo_udf(res_list=(DEFAULT_RES,)):
+def make_geo_udf(res_list=(DEFAULT_RES,), s2_levels=()):
     fields = [T.StructField("lat", T.DoubleType()),
               T.StructField("lon", T.DoubleType())]
     fields += [T.StructField(f"cell_r{r}", T.LongType()) for r in res_list]
+    fields += [T.StructField(f"s2_l{v}", T.LongType()) for v in s2_levels]
 
     @F.pandas_udf(T.StructType(fields))
     def geo(phash: pd.Series) -> pd.DataFrame:
@@ -69,19 +70,25 @@ def make_geo_udf(res_list=(DEFAULT_RES,)):
         out = {"lat": lat, "lon": lon}
         for r in res_list:
             out[f"cell_r{r}"] = cx.cell_id(lat, lon, r)
+        for v in s2_levels:
+            out[f"s2_l{v}"] = cx.s2_cell_id(lat, lon, v)
         return pd.DataFrame(out)
 
     return geo
 
 
-def attach_geo(images: DataFrame, res_list=(DEFAULT_RES,)) -> DataFrame:
-    """images + (lat, lon, cell_r{res}...) derived from phash.  Reads only
-    the columns it needs; zero shuffle."""
-    geo = make_geo_udf(res_list)
+def attach_geo(images: DataFrame, res_list=(DEFAULT_RES,),
+               s2_levels=()) -> DataFrame:
+    """images + (lat, lon, cell_r{res}..., s2_l{level}...) derived from
+    phash — BOTH index families in one Arrow pass (equirect-Morton for
+    disk/covering math, quad-sphere for near-uniform-area partition
+    keys).  Reads only the columns it needs; zero shuffle."""
+    geo = make_geo_udf(res_list, s2_levels)
     g = images.withColumn("_g", geo("phash"))
     cols = [images[c] for c in images.columns]
     cols += [F.col("_g.lat").alias("lat"), F.col("_g.lon").alias("lon")]
     cols += [F.col(f"_g.cell_r{r}").alias(f"cell_r{r}") for r in res_list]
+    cols += [F.col(f"_g.s2_l{v}").alias(f"s2_l{v}") for v in s2_levels]
     return g.select(*cols)
 
 
@@ -584,8 +591,17 @@ TILE_SCHEMA = T.StructType([
 DEG_PER_PX = 0.0005
 
 
+def _block_cell_fn(res: int, family: str):
+    """Block-center -> cell mapper for the chosen index family."""
+    if family == "equirect":
+        return lambda la, lo: cx.cell_id(la, lo, res)
+    if family == "s2":
+        return lambda la, lo: cx.s2_cell_id(la, lo, res)
+    raise ValueError(f"unknown cell family {family!r}")
+
+
 def image_blocks(images: DataFrame, grid: int = 4,
-                 res: int = KNN_RES) -> DataFrame:
+                 res: int = KNN_RES, family: str = "equirect") -> DataFrame:
     """Decode every image, reduce to grid x grid mean-intensity blocks,
     and assign each block the cell under its footprint center.
 
@@ -597,6 +613,7 @@ def image_blocks(images: DataFrame, grid: int = 4,
     once more)."""
     has_geo = "lat" in images.columns
     cols = ["image_id", "bytes"] + (["lat", "lon"] if has_geo else ["phash"])
+    to_cell = _block_cell_fn(res, family)
     gg = (grid - 1) / 2.0
     block_offsets = np.arange(grid) - gg            # per-axis block index offsets
     gr, gc = np.meshgrid(np.arange(grid), np.arange(grid), indexing="ij")
@@ -624,7 +641,7 @@ def image_blocks(images: DataFrame, grid: int = 4,
                 dx = block_offsets * bw * DEG_PER_PX
                 blas[i] = (lat[i] - dy[:, None] - np.zeros((1, grid))).reshape(-1)
                 blos[i] = (lon[i] + dx[None, :] + np.zeros((grid, 1))).reshape(-1)
-            cells = cx.cell_id(blas.reshape(-1), blos.reshape(-1), res)
+            cells = to_cell(blas.reshape(-1), blos.reshape(-1))
             yield pd.DataFrame({
                 "image_id": np.repeat(pdf["image_id"].to_numpy(), n),
                 "cell": cells,
@@ -636,11 +653,14 @@ def image_blocks(images: DataFrame, grid: int = 4,
 
 
 def tile_assignment(images: DataFrame, grid: int = 4,
-                    res: int = KNN_RES) -> DataFrame:
+                    res: int = KNN_RES,
+                    family: str = "equirect") -> DataFrame:
     """Aggregate decoded raster blocks per vector cell: (cell, n_blocks,
     n_images, avg_intensity) — partial aggregation is map-side, the
-    only shuffle is the final groupBy(cell)."""
-    blocks = image_blocks(images, grid, res)
+    only shuffle is the final groupBy(cell).  family='s2' assigns
+    blocks to quad-sphere cells (near-uniform ground area — the right
+    partition key when tiles feed a 10^12-row storage layout)."""
+    blocks = image_blocks(images, grid, res, family)
     return (blocks.groupBy("cell")
             .agg(F.count("*").alias("n_blocks"),
                  F.countDistinct("image_id").alias("n_images"),

@@ -1,0 +1,62 @@
+"""Quad-sphere ('S2-style') cell family: hierarchy containment,
+area uniformity (the property the family exists for), face sanity,
+and the tile-assignment integration."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from pbf2json_spark.functions import cellindex as cx
+
+
+def test_s2_containment_monotone_in_level():
+    rng = np.random.default_rng(41)
+    lat = rng.uniform(-89.9, 89.9, 50_000)
+    lon = rng.uniform(-180, 180, 50_000)
+    for fine, coarse in ((12, 8), (10, 3), (8, 0)):
+        cf = cx.s2_cell_id(lat, lon, fine)
+        cc = cx.s2_cell_id(lat, lon, coarse)
+        assert np.array_equal(cx.s2_parent(cf, coarse), cc)
+
+
+def test_s2_area_uniformity_beats_equirect():
+    """Occupancy-weighted cell-count ratio: on a uniform sphere sample,
+    the quad-sphere family's per-cell point-count spread (p99/p1) must
+    be far tighter than the equirect grid's (whose polar cells shrink
+    to slivers)."""
+    rng = np.random.default_rng(42)
+    # uniform ON THE SPHERE (not in lat/lon): z uniform, lon uniform
+    z = rng.uniform(-1, 1, 400_000)
+    lat = np.degrees(np.arcsin(z))
+    lon = rng.uniform(-180, 180, 400_000)
+
+    def spread(cells):
+        _, counts = np.unique(cells, return_counts=True)
+        return np.percentile(counts, 99) / max(np.percentile(counts, 1), 1)
+
+    s2_spread = spread(cx.s2_cell_id(lat, lon, 6))
+    eq_spread = spread(cx.cell_id(lat, lon, 6))
+    assert s2_spread < eq_spread / 2, (s2_spread, eq_spread)
+    assert s2_spread < 6, s2_spread
+
+
+def test_s2_faces_cover_and_levels_decode():
+    lat = np.array([0.0, 0.0, 0.0, 0.0, 89.0, -89.0])
+    lon = np.array([0.0, 180.0, 90.0, -90.0, 10.0, 10.0])
+    f, lvl, i, j = cx.s2_decode(cx.s2_cell_id(lat, lon, 9))
+    assert sorted(f.tolist()) == [0, 1, 2, 3, 4, 5]
+    assert np.all(lvl == 9)
+
+
+def test_attach_geo_and_tile_assignment_s2(spark):
+    from pbf2json_spark.operators.spatial import attach_geo, tile_assignment
+    from pbf2json_spark.sources.synth import images_df
+    imgs = images_df(spark, 64, partitions=4)
+    geo = attach_geo(imgs, res_list=(9,), s2_levels=(8, 12))
+    row = geo.select("lat", "lon", "s2_l8", "s2_l12").first()
+    got8 = cx.s2_cell_id(np.array([row.lat]), np.array([row.lon]), 8)[0]
+    assert int(row.s2_l8) == int(got8)
+    assert int(cx.s2_parent(np.array([row.s2_l12]), 8)[0]) == int(row.s2_l8)
+    tiles = tile_assignment(geo, grid=2, res=10, family="s2")
+    rows = tiles.collect()
+    assert rows and all(cx.s2_decode(np.array([r.cell]))[1][0] == 10
+                        for r in rows)
