@@ -293,7 +293,6 @@ def _osm_driver_tables(spark, sf_dir):
     """(nodes, ways, relations) derived deterministically from the
     customer/orders/part parquet tables with md5-based hashing — the
     identical derivation exists in _osm_oracle_sql()."""
-    from pyspark.sql import Window
     cust = _load(spark, sf_dir, "customer")
     orders = _load(spark, sf_dir, "orders")
     part = _load(spark, sf_dir, "part")

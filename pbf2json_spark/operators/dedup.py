@@ -195,13 +195,14 @@ def minhash_lsh_pairs(docs: DataFrame, tau: float = 0.5) -> DataFrame:
              .select(F.least("a", "b").alias("doc_a"),
                      F.greatest("a", "b").alias("doc_b"),
                      "jaccard"))
+    if tau > 1.0:   # identical texts (jaccard exactly 1.0) can't pass
+        return cross
     wa = mem.select("rep_id", F.col("doc_id").alias("a"))
     wb = mem.select(F.col("rep_id").alias("rep_b"), F.col("doc_id").alias("b"))
     within = (wa.join(wb, (F.col("rep_id") == F.col("rep_b"))
                       & (F.col("a") < F.col("b")))
               .select(F.col("a").alias("doc_a"), F.col("b").alias("doc_b"),
-                      F.lit(1.0).alias("jaccard"))
-              .filter(F.lit(tau) <= 1.0))
+                      F.lit(1.0).alias("jaccard")))
     return cross.unionByName(within)
 
 
