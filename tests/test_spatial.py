@@ -89,6 +89,31 @@ def test_knn_exact(spark, points, points_pdf):
     assert len(got) == 30 * K
 
 
+def test_knn_exact_dense_corpus_all_paths(spark):
+    """Exactness at a density contrast that exercises EVERY kNN path:
+    fine levels for hotspot queries, coarse levels + coarsen-retry for
+    sparse ones, ring escalation, tail folding, and the brute scan —
+    against the brute numpy oracle, for every query."""
+    N, Q, K = 6000, 300, 7
+    imgs = synth.images_df(spark, N, partitions=16)
+    pts = sp.attach_geo(imgs, res_list=(9, 12)).persist()
+    pts.count()
+    queries = synth.knn_queries_df(spark, Q, k=K, seed=77)
+    got = sp.knn(pts, queries, k=K, res=12, initial_ring=2).toPandas()
+
+    pdf = synth.gen_images_pdf(N)
+    pla, plo = ic.geotag_from_phash(pdf["phash"].to_numpy())
+    ids = pdf["image_id"].to_numpy()
+    qpdf = synth.gen_knn_queries_pdf(Q, k=K, seed=77)
+    for q in qpdf.itertuples():
+        d = gk.haversine_m(q.lat, q.lon, pla, plo)
+        order = np.lexsort((ids, d))[:K]
+        sub = got[got["query_id"] == q.query_id].sort_values("rank")
+        assert sub["image_id"].tolist() == ids[order].tolist(), q.query_id
+    assert len(got) == Q * K
+    pts.unpersist()
+
+
 def test_tile_assignment_matches_pandas(spark, points, points_pdf):
     got = sp.tile_assignment(points, grid=4, res=sp.KNN_RES) \
             .orderBy("cell").toPandas()
