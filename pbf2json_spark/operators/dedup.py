@@ -64,6 +64,25 @@ SIMHASH_CHUNK_BITS = SIMHASH_BITS // SIMHASH_CHUNKS
 SIMHASH_CHUNK_MASK = (1 << SIMHASH_CHUNK_BITS) - 1
 
 
+def _eager_release(result: DataFrame, *bases: DataFrame) -> DataFrame:
+    """Materialize `result` executor-side (localCheckpoint) and unpersist
+    the intermediate `bases`.
+
+    The pair-finding operators persist a shared base (shingles,
+    signature chunks) that both sides of a self-join read; returning a
+    lazy result would force the caller to own that persist for the
+    plan's lifetime — the session-leak the round-2 review flagged.
+    Pair outputs are small (candidates, not corpus rows), so an eager
+    executor-side materialization is cheap, and localCheckpoint blocks
+    are freed by the ContextCleaner when the caller drops the result —
+    unlike CacheManager entries, which leak until an explicit
+    unpersist."""
+    result = result.localCheckpoint(eager=True)
+    for b in bases:
+        b.unpersist()
+    return result
+
+
 def _tokens():
     return F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")
 
@@ -153,7 +172,9 @@ def minhash_lsh_pairs(docs: DataFrame, tau: float = 0.5) -> DataFrame:
     identical text means identical shingle sets).  Shingles are
     computed ONCE into a persisted base reused by the signature pass
     and both sides of the verify join; at a 100 TB scale this persist
-    becomes a TableIO stage checkpoint."""
+    becomes a TableIO stage checkpoint.  The returned pair set is
+    eagerly materialized and the shingle base unpersisted (no cache
+    entries outlive the call)."""
     keyed = docs.select(F.md5("text").alias("tkey"), "doc_id")
     reps = keyed.groupBy("tkey").agg(F.min("doc_id").alias("rep_id"))
     mem = keyed.join(reps, "tkey").select("rep_id", "doc_id")
@@ -196,14 +217,14 @@ def minhash_lsh_pairs(docs: DataFrame, tau: float = 0.5) -> DataFrame:
                      F.greatest("a", "b").alias("doc_b"),
                      "jaccard"))
     if tau > 1.0:   # identical texts (jaccard exactly 1.0) can't pass
-        return cross
+        return _eager_release(cross, base)
     wa = mem.select("rep_id", F.col("doc_id").alias("a"))
     wb = mem.select(F.col("rep_id").alias("rep_b"), F.col("doc_id").alias("b"))
     within = (wa.join(wb, (F.col("rep_id") == F.col("rep_b"))
                       & (F.col("a") < F.col("b")))
               .select(F.col("a").alias("doc_a"), F.col("b").alias("doc_b"),
                       F.lit(1.0).alias("jaccard")))
-    return cross.unionByName(within)
+    return _eager_release(cross.unionByName(within), base)
 
 
 # ---------------------------------------------------------------------------
@@ -246,9 +267,10 @@ def ngram_jaccard_pairs(docs: DataFrame, tau: float = 0.3,
                            F.col("sh").alias("sh_b")), "doc_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
-    return (j.select("doc_a", "doc_b",
-                     F.round(inter / union, 9).alias("jaccard"))
-            .filter(F.col("jaccard") >= tau))
+    out = (j.select("doc_a", "doc_b",
+                    F.round(inter / union, 9).alias("jaccard"))
+           .filter(F.col("jaccard") >= tau))
+    return _eager_release(out, base)
 
 
 # ---------------------------------------------------------------------------
@@ -260,7 +282,10 @@ def _simhash_from_hashes(hs: pd.Series) -> pd.Series:
     segment reduce per Arrow batch; no per-token Python."""
     n = len(hs)
     out = np.zeros(n, dtype=np.int64)
-    arrs = [np.asarray(a, dtype=np.int64) for a in hs]
+    # null text -> null token array from the JVM transform; signature 0
+    # (the same value the old per-row UDF produced for missing text)
+    arrs = [np.asarray(a if a is not None else [], dtype=np.int64)
+            for a in hs]
     lens = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=n)
     nz = np.nonzero(lens > 0)[0]
     if len(nz) == 0:
@@ -322,8 +347,9 @@ def hash_near_pairs(df: DataFrame, hash_col: str, max_hamming: int,
                      F.col("b._h").alias("h_b"))
              .distinct())
     hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).cast("int")
-    return (cand.select("id_a", "id_b", hamming.alias("hamming"))
-            .filter(F.col("hamming") <= max_hamming))
+    out = (cand.select("id_a", "id_b", hamming.alias("hamming"))
+           .filter(F.col("hamming") <= max_hamming))
+    return _eager_release(out, chunks)
 
 
 def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:

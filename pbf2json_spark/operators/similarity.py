@@ -240,29 +240,53 @@ def _grid_udf(tau: float, n_proj: int = NEAR_DUP_PROJ,
 def embedding_near_dup_pairs(embeddings: DataFrame, tau: float = 0.95,
                              id_col: str = "vec_id",
                              block_col: str = "label",
-                             dim: int | None = None) -> DataFrame:
+                             dim: int | None = None,
+                             mode: str = "auto",
+                             lsh_tables: int = 8,
+                             lsh_planes: int = 10) -> DataFrame:
     """(id_a, id_b, cos) pairs with cosine >= tau inside `block_col`
-    blocks — output identical to the blocked all-pairs form.  When the
-    grid can discriminate, the candidate join is (block, grid-cell)
-    equi with one side exploded to its 3^n neighbor cells: an EXACT
-    prefilter (any pair with cos >= tau projects within one bucket
-    width on every direction), bounding the quadratic blowup by
-    grid-cell occupancy instead of block size.
+    blocks.  When the projection grid can discriminate the output is
+    identical to the blocked all-pairs form: the candidate join is
+    (block, grid-cell) equi with one side exploded to its 3^n neighbor
+    cells — an EXACT prefilter (any pair with cos >= tau projects
+    within one bucket width on every direction), bounding the
+    quadratic blowup by grid-cell occupancy instead of block size.
 
     Concentration-of-measure guard: unit vectors project onto a fixed
     direction with spread ~1/sqrt(dim), so when the exactness-required
     bucket width sqrt(2-2*tau) exceeds ~6/sqrt(dim) EVERY vector lands
     in the same one or two buckets and the grid is pure overhead (27x
     explode for zero pruning) — measured 6x slower than the plain
-    blocked join on isotropic 64-dim data at tau=0.8.  In that regime
-    the operator falls back to the plain blocked join (same output);
-    the grid engages for low-dim embeddings or very high tau, i.e.
-    tau > 1 - 18/dim."""
+    blocked join on isotropic 64-dim data at tau=0.8.  The grid
+    engages for low-dim embeddings or very high tau, i.e.
+    tau > 1 - 18/dim.
+
+    `mode` picks what happens when the grid CANNOT discriminate (the
+    1024-dim, tau~0.95 regime a real text-embedding corpus lives in):
+
+    - 'auto' (default): sign-LSH candidate generation — both sides
+      bucketed by `lsh_tables` independent random-hyperplane tables of
+      `lsh_planes` bits (make_buckets_udf, the ann_lsh machinery);
+      candidates must share (block, table, bucket).  Sub-quadratic
+      candidate counts (a random pair collides with probability
+      ~tables/2^planes) at a MEASURED recall < 1: a true pair at
+      cos=tau survives one table with p = (1-acos(tau)/pi)^planes and
+      is missed only when all tables miss — ~0.85 recall at tau=0.9
+      with the defaults (pinned by tests/test_dedup_similarity.py at
+      dim=512).  This is the 100 TB path: the round-2 quadratic
+      fallback is gone from the default.
+    - 'exact': the plain blocked all-pairs join (exact output,
+      quadratic in block size — small/bounded blocks only).
+    Both modes verify candidates with the same exact cosine pass, so
+    emitted pairs are never false positives."""
+    if mode not in ("auto", "exact"):
+        raise ValueError(f"mode must be 'auto' or 'exact', got {mode!r}")
     if dim is None:
         first = embeddings.select(F.size("embedding").alias("d")).first()
         dim = int(first["d"]) if first else 0
     w = 1.01 * float(np.sqrt(max(2.0 - 2.0 * tau, 1e-12)))
     grid_helps = dim > 0 and w < 6.0 / np.sqrt(dim)
+    base = None
 
     if grid_helps:
         grid_self = _grid_udf(tau, neighbors=False)
@@ -278,6 +302,29 @@ def embedding_near_dup_pairs(embeddings: DataFrame, tau: float = 0.95,
         pairs = a.join(b, (F.col("blk") == F.col("blk_b"))
                        & (F.col("cell") == F.col("cell_b"))
                        & (F.col("id_a") < F.col("id_b")))
+    elif mode == "auto":
+        # sign-LSH candidates: persist the bucketed base so the self-
+        # join doesn't recompute the bucket UDF per branch
+        buckets = make_buckets_udf(dim, lsh_tables, lsh_planes,
+                                   seed=NEAR_DUP_SEED)
+        base = embeddings.select(
+            id_col, block_col, "embedding",
+            F.posexplode(buckets("embedding")).alias("tbl", "bucket")
+        ).persist()
+        a = base.select(F.col(id_col).alias("id_a"),
+                        F.col(block_col).alias("blk"),
+                        F.col("embedding").alias("emb_a"),
+                        "tbl", "bucket")
+        b = base.select(F.col(id_col).alias("id_b"),
+                        F.col(block_col).alias("blk_b"),
+                        F.col("embedding").alias("emb_b"),
+                        F.col("tbl").alias("tbl_b"),
+                        F.col("bucket").alias("bucket_b"))
+        pairs = (a.join(b, (F.col("blk") == F.col("blk_b"))
+                        & (F.col("tbl") == F.col("tbl_b"))
+                        & (F.col("bucket") == F.col("bucket_b"))
+                        & (F.col("id_a") < F.col("id_b")))
+                 .dropDuplicates(["id_a", "id_b"]))
     else:
         a = embeddings.select(F.col(id_col).alias("id_a"),
                               F.col(block_col).alias("blk"),
@@ -312,6 +359,10 @@ def embedding_near_dup_pairs(embeddings: DataFrame, tau: float = 0.95,
 
     scored = pairs.select("id_a", "id_b", "emb_a", "emb_b") \
                   .mapInPandas(verify, raw_schema)
-    return (scored.select("id_a", "id_b",
-                          F.round(F.col("cos"), 9).alias("cos"))
-            .filter(F.col("cos") >= tau))
+    out = (scored.select("id_a", "id_b",
+                         F.round(F.col("cos"), 9).alias("cos"))
+           .filter(F.col("cos") >= tau))
+    if base is not None:  # LSH path: release the bucketed base eagerly
+        out = out.localCheckpoint(eager=True)
+        base.unpersist()
+    return out

@@ -116,15 +116,18 @@ def point_in_polygon(points: DataFrame, polygons: DataFrame,
     sc.broadcast to the refine workers (shipped once per executor, not
     per task); a hard vertex-count guard refuses inputs that would turn
     that broadcast into a driver/executor memory bomb."""
-    n_vertices = polygons.select(
-        F.sum(F.size("ring_lats")).alias("v")).first()["v"] or 0
+    # one driver job: the vertex guard counts from the same collected
+    # frame the covering pass needs anyway (a separate sum(size())
+    # aggregate was a whole extra scan before the real query — the
+    # round-2 headline regression on pip)
+    polys = polygons.select("poly_id", "ring_lats", "ring_lons").toPandas()
+    n_vertices = int(polys["ring_lats"].map(len).sum()) if len(polys) else 0
     if n_vertices > PIP_MAX_DIM_VERTICES:
         raise ValueError(
             f"point_in_polygon: polygon side has {n_vertices} vertices "
             f"(> {PIP_MAX_DIM_VERTICES}); it is not a broadcastable dim "
             f"table — split the polygon set or pre-partition both sides "
             f"by covering cell and refine per partition")
-    polys = polygons.select("poly_id", "ring_lats", "ring_lons").toPandas()
 
     # covering cells per polygon, vectorized numpy, broadcast to executors
     cover_rows = []
@@ -328,11 +331,11 @@ def knn(points: DataFrame, queries: DataFrame, k: int,
         F.col(point_id), F.col("lat").alias("p_lat"),
         F.col("lon").alias("p_lon"))
     # the projected point store is narrow; more partitions than task
-    # slots only buys scheduling floor on the per-round joins
+    # slots only buys scheduling floor on the per-round joins.
+    # coalesce is a no-op when the scan already has fewer partitions,
+    # so no .rdd conversion plan is ever forced just to count them
     par = spark0.sparkContext.defaultParallelism
-    if pts.rdd.getNumPartitions() > 2 * par:
-        pts = pts.coalesce(2 * par)
-    pts = pts.persist()
+    pts = pts.coalesce(2 * par).persist()
 
     remaining = queries.select("query_id", "lat", "lon").toPandas()
     n_queries0 = max(len(remaining), 1)

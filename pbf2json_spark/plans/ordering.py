@@ -12,8 +12,9 @@ classic two-pass shape every distributed engine uses:
 
 The result equals the single-task window whenever the key is unique
 (with duplicates, ties could straddle range-partition boundaries and
-tie order would depend on the split — so duplicates are rejected by
-contract, not silently misranked).
+tie order would depend on the split — so duplicates are DETECTED in
+the count pass, which counts distinct keys for free, and rejected
+with an error rather than silently misranked).
 """
 
 from __future__ import annotations
@@ -26,22 +27,46 @@ LOCAL_COL = "__gs_local"
 
 
 def global_seq(df: DataFrame, order_col: str,
-               out_col: str = "seq") -> DataFrame:
+               out_col: str = "seq",
+               materialize: bool = True) -> DataFrame:
     """df + `out_col` = 1-based global rank of `order_col` (which must
     be unique), computed without a single-partition window.
 
+    Uniqueness is ENFORCED, not assumed: the per-partition count pass
+    (which runs anyway) also counts distinct keys and raises on any
+    duplicate — a duplicate straddling a range-partition boundary would
+    otherwise get a silently split-dependent rank.
+
     The range-partitioned input is persisted so the per-partition count
-    pass doesn't recompute it; at 100 TB you would materialize that
-    stage through TableIO instead of executor memory."""
+    pass doesn't recompute it.  With materialize=True (default) the
+    OUTPUT is localCheckpoint'ed and that persist released before
+    returning, so no cache entry outlives the call; pass
+    materialize=False when the output is too large to hold as blocks
+    (at 100 TB you materialize this stage through TableIO instead) —
+    the caller then owns releasing the returned plan's cached input
+    via spark.catalog.clearCache() or an explicit unpersist."""
     parts = (df.repartitionByRange(F.col(order_col))
                .sortWithinPartitions(order_col)
                .withColumn(PART_COL, F.spark_partition_id())
                .persist())
-    counts = {r[PART_COL]: r["count"] for r in
-              parts.groupBy(PART_COL).count().collect()}
+    cdf = parts.groupBy(PART_COL).agg(
+        F.count("*").alias("count"),
+        F.count_distinct(F.col(order_col)).alias("n_distinct")).collect()
+    counts = {r[PART_COL]: r["count"] for r in cdf}
+    dup_parts = [r[PART_COL] for r in cdf if r["count"] != r["n_distinct"]]
+    if dup_parts:
+        parts.unpersist()
+        raise ValueError(
+            f"global_seq: duplicate {order_col!r} values detected in "
+            f"partitions {dup_parts[:5]} — ranks of duplicates would "
+            f"depend on the range split; deduplicate or pick a unique key")
     if not counts:  # empty input: create_map() with zero args is invalid
-        return (parts.drop(PART_COL)
-                .withColumn(out_col, F.lit(None).cast("long")))
+        out = (parts.drop(PART_COL)
+               .withColumn(out_col, F.lit(None).cast("long")))
+        if materialize:
+            out = out.localCheckpoint(eager=True)
+            parts.unpersist()
+        return out
     offsets, acc = {}, 0
     for pid in sorted(counts):
         offsets[pid] = acc
@@ -56,4 +81,7 @@ def global_seq(df: DataFrame, order_col: str,
                         + F.element_at(off_expr, F.col(PART_COL)))
                        .cast("long"))
            .drop(PART_COL, LOCAL_COL))
+    if materialize:
+        out = out.localCheckpoint(eager=True)
+        parts.unpersist()
     return out

@@ -9,14 +9,23 @@ broadcast, sort undesirable), or (b) a single KEY — not just a
 partition — is hot: every probe row for that key still lands on one
 task.  Explicit salting fixes the single-hot-key case:
 
-- probe rows for hot keys get a salt in [0, n_salts) (uniform,
-  derived from a per-row id — no RNG, re-runs are deterministic);
+- probe rows for hot keys get a salt in [0, n_salts) derived from
+  STABLE ROW CONTENT (xxhash64 of the row's hashable columns — never
+  from monotonically_increasing_id or an RNG: a partition-layout- or
+  retry-dependent salt is a shuffle-key correctness bug of the
+  SPARK-23207 class, because a re-executed map task could route the
+  same row to a different reducer than the committed shuffle files);
 - build rows for hot keys are replicated across ALL salts;
 - the join key becomes (key, salt), spreading each hot key over
   n_salts tasks at the cost of replicating only the HOT build rows.
 
 Cold keys keep salt 0 on both sides, so the replication factor is
 bounded by |hot| * n_salts, not |build| * n_salts.
+
+Only inner and left joins are supported: a right/full-outer join
+would emit one null-extended row PER SALT REPLICA of every unmatched
+hot build row (n_salts duplicates), which is not the unsalted join's
+output.
 """
 
 from __future__ import annotations
@@ -51,16 +60,31 @@ def salted_equijoin(probe: DataFrame, build: DataFrame, key: str,
                     hot: DataFrame | list | None = None,
                     hot_threshold: int = 50_000,
                     sample_fraction: float | None = None,
-                    how: str = "inner") -> DataFrame:
+                    how: str = "inner",
+                    salt_cols: list | None = None) -> DataFrame:
     """Equi-join `probe` with `build` on `key` with the hot keys salted
     across `n_salts` sub-keys.  Column sets (minus `key`) must be
     disjoint.  Output columns = probe columns + build columns (key
-    once), exactly like probe.join(build, key, how).
+    once), exactly like probe.join(build, key, how) for how in
+    {inner, left} (other join types raise — see module docstring).
+
+    The probe salt is pmod(xxhash64(<salt_cols>), n_salts): a pure
+    function of row CONTENT, so speculative/retried map tasks assign
+    the identical salt (a layout-dependent salt loses or duplicates
+    rows on retry).  salt_cols defaults to every probe column with a
+    hashable type (map columns are skipped — Spark's hash functions
+    reject MapType); pass an explicit unique row-id column for the
+    best spread when probe rows can be wholly duplicated.
 
     The hot set is MATERIALIZED once (driver-side list — hot keys are
     few by definition, and leaving them as a lazy plan re-runs the
     detection scan inside every downstream branch) and tested with a
     literal set predicate, so salting adds zero extra joins."""
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_equijoin supports inner/left joins only, got {how!r}: "
+            f"outer-build joins would emit n_salts duplicates of every "
+            f"unmatched hot build row")
     if hot is None:
         hot = hot_keys(probe, key, hot_threshold, sample_fraction)
     if isinstance(hot, DataFrame):
@@ -73,12 +97,18 @@ def salted_equijoin(probe: DataFrame, build: DataFrame, key: str,
         f"{len(hot_list)} hot keys — raise hot_threshold; a 'hot set' "
         f"this large means the distribution is not actually skewed")
 
+    from pyspark.sql import types as T
+    if salt_cols is None:
+        salt_cols = [f.name for f in probe.schema.fields
+                     if not isinstance(f.dataType, T.MapType)]
+    if not salt_cols:
+        raise ValueError("salted_equijoin: no hashable probe columns to "
+                         "derive a deterministic salt from; pass salt_cols")
     is_hot = F.col(key).isin(hot_list)
     p = probe.withColumn(
         SALT_COL,
         F.when(is_hot,
-               F.pmod(F.xxhash64(F.col(key),
-                                 F.monotonically_increasing_id()),
+               F.pmod(F.xxhash64(*[F.col(c) for c in salt_cols]),
                       F.lit(n_salts)).cast("int"))
          .otherwise(F.lit(0)))
     b = build.withColumn(

@@ -7,8 +7,9 @@ runtime jar, so TableIO abstracts the two backends behind one surface:
   configured (probed at runtime, used transparently on a real cluster);
 - ``parquet-dir`` fallback with an identical logical layout plus a
   ``_manifest.json`` carrying what Iceberg's snapshot metadata would:
-  schema, row count, per-partition lineage (partition id -> row count),
-  and the content key used for idempotent stage resume.
+  schema, row count, per-partition lineage (written file -> row count,
+  derived at read time — no internal column is added to the stored
+  schema), and the content key used for idempotent stage resume.
 
 Every write records per-partition row counts — the "per-partition
 lineage + metrics" the north rule requires each stage to checkpoint.
@@ -68,8 +69,20 @@ class TableIO:
         raise FileNotFoundError(f"no manifest for table {name!r}")
 
     def _lineage(self, out: DataFrame) -> dict:
-        return {str(r["_part"]): r["count"] for r in
-                out.groupBy("_part").count().collect()}
+        """Per-partition row counts of the MATERIALIZED table, keyed by
+        the written file (basename) — derived at read time from
+        input_file_name(), so the user-visible table schema never
+        carries an internal lineage column (round-2 review: a stored
+        `_part` column leaked into every non-TableIO reader and
+        disagreed with the manifest's declared schema)."""
+        fname = F.element_at(F.split(F.input_file_name(), "/"), -1)
+        rows = (out.groupBy(fname.alias("_file")).count().collect())
+        lineage = {str(r["_file"]): r["count"] for r in rows}
+        if list(lineage) == [""]:   # reader exposes no file names
+            rows = (out.groupBy(F.spark_partition_id().alias("_p"))
+                    .count().collect())
+            lineage = {str(r["_p"]): r["count"] for r in rows}
+        return lineage
 
     def write(self, df: DataFrame, name: str, content_key: str = "",
               partition_by: list[str] | None = None) -> dict:
@@ -80,8 +93,7 @@ class TableIO:
         spark = df.sparkSession
         if self._iceberg_available(spark):
             full = f"{self.catalog}.{name}"
-            tagged = df.withColumn("_part", F.spark_partition_id())
-            w = tagged.writeTo(full)
+            w = df.writeTo(full)
             if partition_by:
                 w = w.partitionedBy(*[F.col(c) for c in partition_by])
             w.createOrReplace()
@@ -95,7 +107,7 @@ class TableIO:
                 "rows": sum(lineage.values()),
                 "partitions": len(lineage),
                 "partition_rows": lineage,
-                "schema": out.drop("_part").schema.jsonValue(),
+                "schema": out.schema.jsonValue(),
                 "written_at": time.time(),
             }
             blob = json.dumps(manifest).replace("'", "''")
@@ -113,8 +125,7 @@ class TableIO:
         path = self._path(name)
         tmp = path + ".__tmp__"
         shutil.rmtree(tmp, ignore_errors=True)
-        tagged = df.withColumn("_part", F.spark_partition_id())
-        writer = tagged.write.mode("overwrite")
+        writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(tmp)
@@ -130,7 +141,7 @@ class TableIO:
             "rows": sum(lineage.values()),
             "partitions": len(lineage),
             "partition_rows": lineage,
-            "schema": out.drop("_part").schema.jsonValue(),
+            "schema": out.schema.jsonValue(),
             "written_at": time.time(),
         }
         with open(os.path.join(tmp, "_manifest.json"), "w") as f:
@@ -141,5 +152,5 @@ class TableIO:
 
     def read(self, spark: SparkSession, name: str) -> DataFrame:
         if self._iceberg_available(spark):
-            return spark.read.table(f"{self.catalog}.{name}").drop("_part")
-        return spark.read.parquet(self._path(name)).drop("_part")
+            return spark.read.table(f"{self.catalog}.{name}")
+        return spark.read.parquet(self._path(name))

@@ -303,3 +303,80 @@ def test_image_duplicates_pipeline(spark):
     verified = verify_pixel_duplicates(df, cand).collect()
     v = {(r.id_a, r.id_b): (r.psnr, r.is_dup) for r in verified}
     assert v[("img0", "img6")] == (999.0, True)
+
+
+def test_embedding_near_dup_lsh_high_dim(spark):
+    """The high-dim regime the grid cannot discriminate (dim=512,
+    tau=0.9): the 'auto' mode must generate SUB-QUADRATIC candidates
+    via sign-LSH, emit NO false positives, and recover most true
+    pairs (measured recall)."""
+    from pbf2json_spark.operators import similarity as sim
+    dim, tau, n_base, n_dup = 512, 0.9, 150, 40
+    assert not 1.01 * np.sqrt(2 - 2 * tau) < 6.0 / np.sqrt(dim)  # grid off
+    rng = np.random.Generator(np.random.Philox(key=np.uint64(99)))
+    vecs = []
+    base = rng.normal(size=(n_base, dim))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    for v in base:
+        vecs.append(v)
+    for i in range(n_dup):                      # near-dup partners
+        # per-dim noise eps gives cos ~ 1/sqrt(1+eps^2*dim): eps in
+        # [0.010, 0.018] at dim=512 spans cos ~0.93-0.975
+        eps = 0.010 + 0.008 * i / n_dup
+        v = base[i] + rng.normal(0, eps, dim)
+        vecs.append(v / np.linalg.norm(v))
+    m = np.stack(vecs).astype(np.float32).astype(np.float64)
+    n = len(m)
+    cos = m @ m.T / (np.linalg.norm(m, axis=1)[:, None]
+                     * np.linalg.norm(m, axis=1)[None, :])
+    want = {(i, j) for i in range(n) for j in range(i + 1, n)
+            if round(cos[i, j], 9) >= tau}
+    assert len(want) >= n_dup * 0.8, "fixture must contain true pairs"
+
+    rows = [(i, [float(x) for x in m[i]], "all") for i in range(n)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label string")
+    got = {(r.id_a, r.id_b): r.cos
+           for r in sim.embedding_near_dup_pairs(
+               df, tau=tau, dim=dim, mode="auto").collect()}
+    assert set(got) <= want, "LSH mode emitted a false positive"
+    recall = len(set(got) & want) / len(want)
+    assert recall >= 0.7, f"LSH near-dup recall too low: {recall}"
+
+    # sub-quadratic candidate evidence: numpy twin of the bucket join
+    planes = sim._hyperplanes(dim, 8, 10, seed=sim.NEAR_DUP_SEED)
+    flat = planes.reshape(8 * 10, dim).T
+    dots = sim._seq_dot(m, flat).reshape(n, 8, 10)
+    weights = (1 << np.arange(10)).astype(np.int64)
+    buckets = ((dots > 0) @ weights).astype(np.int64)   # (n, 8 tables)
+    n_cand = sum(
+        1 for i in range(n) for j in range(i + 1, n)
+        if np.any(buckets[i] == buckets[j]))
+    all_pairs = n * (n - 1) // 2
+    assert n_cand < 0.25 * all_pairs, (
+        f"candidates not sub-quadratic: {n_cand}/{all_pairs}")
+
+
+def test_pair_ops_leave_no_cache_entries(spark, docs_df):
+    """The pair-finding operators persist shared bases internally; the
+    round-2 review flagged that those persists leaked for the session
+    lifetime.  After each operator returns, the SQL cache must be empty
+    (results are localCheckpoint'ed, whose blocks are ContextCleaner-
+    owned, not CacheManager entries)."""
+    spark.catalog.clearCache()
+    dedup.minhash_lsh_pairs(docs_df, tau=0.5).collect()
+    dedup.ngram_jaccard_pairs(docs_df, tau=0.2).collect()
+    dedup.simhash_near_pairs(docs_df, max_hamming=3).collect()
+    from pbf2json_spark.plans.ordering import global_seq
+    df = spark.range(0, 500).select(F.col("id").alias("k"))
+    global_seq(df, "k").collect()
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+def test_simhash_null_text_is_zero(spark):
+    df = spark.createDataFrame(
+        [(0, None), (1, "real text here")], "doc_id long, text string")
+    sig = {r.doc_id: r.simhash
+           for r in dedup.simhash_signatures(df).collect()}
+    assert sig[0] == 0
+    assert sig[1] != 0

@@ -26,3 +26,11 @@ def test_global_seq_empty_input(spark):
     df = spark.range(0).select(F.col("id").alias("k"))
     out = global_seq(df, "k")
     assert out.count() == 0 and "seq" in out.columns
+
+
+def test_global_seq_rejects_duplicates(spark):
+    import pytest
+    from pyspark.sql import functions as F
+    df = spark.range(0, 100).select((F.col("id") % 50).alias("k"))
+    with pytest.raises(Exception, match="duplicate"):
+        global_seq(df, "k").collect()
