@@ -2,11 +2,12 @@
 
 Each ``queries()`` entry runs an engine operator (pbf2json_spark) over
 the driver's parquet tables at ``sf_dir``; ``oracle_sql()`` carries the
-equivalent DuckDB SQL.  Operators whose semantics SQL cannot express
-(SimHash banding, LSH-bucketed ANN, the OSM-parity pipeline itself)
-ship without an oracle entry — the driver records the weaker rows-only
-check and pytest carries their exactness (tests/ vs pure-Python/numpy
-oracles).
+equivalent DuckDB SQL — EVERY query has one (22/22).  Two oracles need
+machinery beyond plain SQL over the driver tables: q_ann_lsh_topk
+inlines its hyperplanes as generated literals, and q_tile_assignment
+aggregates a committed Spark-free twin fixture because per-pixel image
+decode is not SQL-expressible (see TILE_ORACLE_FIXTURE below); pytest
+additionally pins the non-SQL pieces against pure-Python/numpy twins.
 
 Mapping to SURVEY.md §2: P1-P3 (tag DNF) -> q_tag_filter_dnf; J1/A1
 (denormalize+collect) -> q_order_denorm; A5 (argmax) -> q_argmax_pick;
@@ -264,14 +265,38 @@ def q_knn_geo(spark, sf_dir):
     return res.select("query_id", "point_id", "rank")
 
 
-def q_tile_assignment(spark, sf_dir):  # no SQL oracle (decodes binaries)
+# q_tile_assignment's oracle: the per-pixel decode is not SQL-
+# expressible, so the DuckDB side aggregates an INDEPENDENTLY computed
+# blocks table — the Spark-free pandas twin (synth.gen_tile_blocks_pdf,
+# shares only the numpy kernels with the operator, no Spark anywhere)
+# committed as a parquet fixture at the correctness-gate scale
+# (sf0.01 = 1000 images; scripts/make_tile_oracle_fixture.py
+# regenerates it, tests/test_spatial.py pins it against both a fresh
+# twin run and the operator).  avg_intensity is rounded to 6 digits on
+# both sides: per-block values are bit-identical by construction, only
+# the distributed-vs-sequential SUM order differs (last-ulp).
+TILE_ORACLE_FIXTURE = "/root/repo/tests/fixtures/tile_blocks_1000.parquet"
+
+
+def q_tile_assignment(spark, sf_dir):
     from pbf2json_spark.operators.spatial import attach_geo, tile_assignment
     from pbf2json_spark.sources.synth import images_df
     _ship(spark)
     n = max(200, _scale_rows(sf_dir))
     imgs = images_df(spark, n)
     geo = attach_geo(imgs, res_list=(9, 12))
-    return tile_assignment(geo, grid=4, res=12)
+    t = tile_assignment(geo, grid=4, res=12)
+    return t.select("cell", "n_blocks", "n_images",
+                    F.round("avg_intensity", 6).alias("avg_intensity_r"))
+
+
+def _tile_oracle_sql() -> str:
+    return f"""
+SELECT cell, count(*) AS n_blocks, count(DISTINCT image_id) AS n_images,
+       round(avg(mean_intensity), 6) AS avg_intensity_r
+FROM read_parquet('{TILE_ORACLE_FIXTURE}')
+GROUP BY cell
+"""
 
 
 # --- OSM pipeline over driver-derived tables -------------------------------
@@ -866,7 +891,5 @@ WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
         "q_osm_pipeline": _osm_oracle_sql(),
         "q_pip_rect": _pip_oracle_sql(),
         "q_knn_geo": _knn_oracle_sql(),
-        # q_tile_assignment: intentionally no oracle (decodes binary
-        # image payloads — not SQL-expressible; pytest pins it against
-        # a pandas twin).
+        "q_tile_assignment": _tile_oracle_sql(),
     }

@@ -166,6 +166,43 @@ def decode_image(data: bytes) -> np.ndarray:
     raise ValueError(f"unknown image magic {magic!r}")
 
 
+def block_means(pixels: np.ndarray, grid: int) -> tuple:
+    """grid x grid mean-intensity blocks of an (h, w, 3) uint8 raster ->
+    (flat float32 values (grid*grid,), bh, bw).
+
+    This is THE shared float op sequence for raster block reduction:
+    the Spark tile operators (operators/spatial.py) and the Spark-free
+    oracle twin (sources/synth.gen_tile_blocks_pdf, which backs the
+    q_tile_assignment DuckDB oracle fixture) both call it, so block
+    values are bit-identical across engines and only the aggregation
+    order can differ downstream."""
+    px = pixels.astype(np.float32).mean(axis=2, dtype=np.float32)
+    h, w = px.shape
+    bh, bw = max(h // grid, 1), max(w // grid, 1)
+    vals = px[:bh * grid, :bw * grid] \
+        .reshape(grid, bh, grid, bw).mean(axis=(1, 3))
+    return vals.reshape(-1), bh, bw
+
+
+# footprint of an image on the ground, degrees per pixel (synthetic but
+# fixed: raster extent scales with resolution like real imagery) —
+# shared by the Spark operators and the Spark-free tile oracle twin
+DEG_PER_PX = 0.0005
+
+
+def block_centers(lat: float, lon: float, bh: int, bw: int,
+                  grid: int) -> tuple:
+    """(lats, lons) of the grid x grid block-center footprints of an
+    image centered at (lat, lon) — the exact arithmetic the Spark tile
+    operators use."""
+    offs = np.arange(grid) - (grid - 1) / 2.0
+    dy = offs * bh * DEG_PER_PX
+    dx = offs * bw * DEG_PER_PX
+    blas = (lat - dy[:, None] - np.zeros((1, grid))).reshape(-1)
+    blos = (lon + dx[None, :] + np.zeros((grid, 1))).reshape(-1)
+    return blas, blos
+
+
 def psnr(a: np.ndarray, b: np.ndarray) -> float:
     """Peak signal-to-noise ratio in dB between two uint8 images."""
     mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)

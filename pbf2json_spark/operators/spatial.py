@@ -589,9 +589,10 @@ TILE_SCHEMA = T.StructType([
     T.StructField("mean_intensity", T.DoubleType()),
 ])
 
-# footprint of an image on the ground, degrees per pixel (synthetic but
-# fixed: raster extent scales with resolution like real imagery)
-DEG_PER_PX = 0.0005
+# footprint constant lives beside the shared block kernels so the
+# Spark-free oracle twin (sources/synth.gen_tile_blocks_pdf) uses the
+# identical arithmetic; re-exported here for compatibility
+DEG_PER_PX = ic.DEG_PER_PX
 
 
 def _block_cell_fn(res: int, family: str):
@@ -617,8 +618,6 @@ def image_blocks(images: DataFrame, grid: int = 4,
     has_geo = "lat" in images.columns
     cols = ["image_id", "bytes"] + (["lat", "lon"] if has_geo else ["phash"])
     to_cell = _block_cell_fn(res, family)
-    gg = (grid - 1) / 2.0
-    block_offsets = np.arange(grid) - gg            # per-axis block index offsets
     gr, gc = np.meshgrid(np.arange(grid), np.arange(grid), indexing="ij")
     gr, gc = gr.reshape(-1), gc.reshape(-1)
 
@@ -635,15 +634,8 @@ def image_blocks(images: DataFrame, grid: int = 4,
             blas = np.empty((n_img, n))
             blos = np.empty((n_img, n))
             for i, b in enumerate(pdf["bytes"]):
-                px = ic.decode_image(bytes(b)).astype(np.float32).mean(axis=2, dtype=np.float32)
-                h, w = px.shape
-                bh, bw = max(h // grid, 1), max(w // grid, 1)
-                trimmed = px[:bh * grid, :bw * grid]
-                vals[i] = trimmed.reshape(grid, bh, grid, bw).mean(axis=(1, 3)).reshape(-1)
-                dy = block_offsets * bh * DEG_PER_PX
-                dx = block_offsets * bw * DEG_PER_PX
-                blas[i] = (lat[i] - dy[:, None] - np.zeros((1, grid))).reshape(-1)
-                blos[i] = (lon[i] + dx[None, :] + np.zeros((grid, 1))).reshape(-1)
+                vals[i], bh, bw = ic.block_means(ic.decode_image(bytes(b)), grid)
+                blas[i], blos[i] = ic.block_centers(lat[i], lon[i], bh, bw, grid)
             cells = to_cell(blas.reshape(-1), blos.reshape(-1))
             yield pd.DataFrame({
                 "image_id": np.repeat(pdf["image_id"].to_numpy(), n),
@@ -713,8 +705,6 @@ def image_blocks_direct(spark, parquet_path: str, grid: int = 4,
         raise ValueError(f"no parquet files under {parquet_path}")
     files_df = spark.createDataFrame([(f,) for f in files], "path string") \
                     .repartition(len(files))
-    gg = (grid - 1) / 2.0
-    block_offsets = np.arange(grid) - gg
     gr, gc = np.meshgrid(np.arange(grid), np.arange(grid), indexing="ij")
     gr, gc = gr.reshape(-1), gc.reshape(-1)
 
@@ -732,15 +722,10 @@ def image_blocks_direct(spark, parquet_path: str, grid: int = 4,
                     blas = np.empty((n_img, n))
                     blos = np.empty((n_img, n))
                     for i, b in enumerate(sub["bytes"]):
-                        px = ic.decode_image(bytes(b)).astype(np.float32).mean(axis=2, dtype=np.float32)
-                        h, w = px.shape
-                        bh, bw = max(h // grid, 1), max(w // grid, 1)
-                        vals[i] = px[:bh * grid, :bw * grid] \
-                            .reshape(grid, bh, grid, bw).mean(axis=(1, 3)).reshape(-1)
-                        dy = block_offsets * bh * DEG_PER_PX
-                        dx = block_offsets * bw * DEG_PER_PX
-                        blas[i] = (lat[i] - dy[:, None] - np.zeros((1, grid))).reshape(-1)
-                        blos[i] = (lon[i] + dx[None, :] + np.zeros((grid, 1))).reshape(-1)
+                        vals[i], bh, bw = ic.block_means(
+                            ic.decode_image(bytes(b)), grid)
+                        blas[i], blos[i] = ic.block_centers(
+                            lat[i], lon[i], bh, bw, grid)
                     yield pd.DataFrame({
                         "image_id": np.repeat(sub["image_id"].to_numpy(), n),
                         "cell": cx.cell_id(blas.reshape(-1), blos.reshape(-1), res),

@@ -133,6 +133,40 @@ def images_df(spark, n: int, partitions: int | None = None, dims=None):
     return spark.range(0, n, numPartitions=parts).mapInPandas(gen, schema=schema)
 
 
+def gen_tile_blocks_pdf(n: int, grid: int = 4, res: int = 12,
+                        dims=None) -> pd.DataFrame:
+    """Spark-free twin of operators/spatial.image_blocks over the first
+    `n` synthetic images: (image_id, cell, block_row, block_col,
+    mean_intensity).
+
+    It shares the EXACT kernels with the Spark path (imagecodec.
+    block_means / block_centers / geotag_from_phash, cellindex.cell_id)
+    so per-block values are bit-identical — this table, written to
+    parquet, is the DuckDB oracle input for q_tile_assignment (the
+    per-pixel decode is not SQL-expressible, so the oracle checks the
+    blocks->cells aggregation over the independently-computed twin)."""
+    from ..functions import cellindex as cx
+    gr, gc = np.meshgrid(np.arange(grid), np.arange(grid), indexing="ij")
+    gr, gc = gr.reshape(-1), gc.reshape(-1)
+    ids, cells, vals = [], [], []
+    for seq in range(n):
+        image_id, data, _w, _h, _fmt, _cap, ph = gen_image_row(seq, dims)
+        lat, lon = ic.geotag_from_phash(np.array([ph], dtype=np.int64))
+        v, bh, bw = ic.block_means(ic.decode_image(data), grid)
+        bla, blo = ic.block_centers(lat[0], lon[0], bh, bw, grid)
+        ids.append(image_id)
+        cells.append(cx.cell_id(bla, blo, res))
+        vals.append(v.astype(np.float64))
+    m = grid * grid
+    return pd.DataFrame({
+        "image_id": np.repeat(np.array(ids), m),
+        "cell": np.concatenate(cells),
+        "block_row": np.tile(gr, n).astype(np.int32),
+        "block_col": np.tile(gc, n).astype(np.int32),
+        "mean_intensity": np.concatenate(vals),
+    })
+
+
 # ---------------------------------------------------------------------------
 # OSM-analog tables (FIXTURES.md §2)
 # ---------------------------------------------------------------------------

@@ -157,3 +157,30 @@ def test_tile_assignment_direct_equals_dataframe_path(spark, tmp_path):
     assert a["n_blocks"].tolist() == b["n_blocks"].tolist()
     assert a["n_images"].tolist() == b["n_images"].tolist()
     assert np.allclose(a["avg_intensity"], b["avg_intensity"])
+
+
+def test_tile_oracle_fixture_pins_operator(spark):
+    """The committed q_tile_assignment oracle fixture (tests/fixtures/
+    tile_blocks_1000.parquet) must match (a) a fresh run of the
+    Spark-free twin and (b) Spark's image_blocks output, block for
+    block — so fixture drift or operator drift both fail here."""
+    import os
+    fix_path = os.path.join(os.path.dirname(__file__), "fixtures",
+                            "tile_blocks_1000.parquet")
+    fix = pd.read_parquet(fix_path)
+    key = ["image_id", "block_row", "block_col"]
+
+    twin = synth.gen_tile_blocks_pdf(1000, grid=4, res=12)
+    a = fix.sort_values(key).reset_index(drop=True)
+    b = twin.sort_values(key).reset_index(drop=True)
+    assert a["cell"].tolist() == b["cell"].tolist()
+    assert (a["mean_intensity"].to_numpy()
+            == b["mean_intensity"].to_numpy()).all(), "twin drifted"
+
+    imgs = synth.images_df(spark, 1000, partitions=8)
+    geo = sp.attach_geo(imgs, res_list=(9, 12))
+    got = sp.image_blocks(geo, grid=4, res=12).toPandas() \
+        .sort_values(key).reset_index(drop=True)
+    assert got["cell"].tolist() == a["cell"].tolist()
+    assert (got["mean_intensity"].to_numpy()
+            == a["mean_intensity"].to_numpy()).all(), "operator drifted"
