@@ -44,6 +44,8 @@ __all__ = [
     "disk", "cover_bbox", "cover_polygon", "disk_exit_distance_m",
     "res_of", "MAX_RES",
     "s2_cell_id", "s2_decode", "s2_parent", "S2_MAX_LEVEL",
+    "s2_cell_center", "s2_cell_corners", "s2_neighbors", "s2_disk",
+    "s2_cover_bbox", "s2_cover_polygon",
 ]
 
 
@@ -284,12 +286,29 @@ def _latlon_to_xyz(lat, lon):
     return cl * np.cos(lo), cl * np.sin(lo), np.sin(la)
 
 
-def s2_cell_id(lat, lon, level: int):
-    """Vectorized (lat, lon) -> quad-sphere cell id at `level`
-    (2^level x 2^level cells per cube face)."""
-    if not 0 <= level <= S2_MAX_LEVEL:
-        raise ValueError(f"level must be in [0, {S2_MAX_LEVEL}]")
-    x, y, z = _latlon_to_xyz(lat, lon)
+def _st(p):
+    """S2's quadratic uv -> st transform: near-uniform ground area per
+    cell.  Monotone on all of R (the extension beyond [-1, 1] is what
+    lets cross-face neighbor math stay in one coordinate frame)."""
+    # max(.., 0) keeps the not-taken where-branch out of sqrt's
+    # domain (|p| <= 1 on the taken branch by construction)
+    p = np.asarray(p, dtype=np.float64)
+    return np.where(p >= 0,
+                    0.5 * np.sqrt(np.maximum(1.0 + 3.0 * p, 0.0)),
+                    1.0 - 0.5 * np.sqrt(np.maximum(1.0 - 3.0 * p, 0.0)))
+
+
+def _st_inv(s):
+    """Inverse of _st (st -> uv), same monotone extension."""
+    s = np.asarray(s, dtype=np.float64)
+    return np.where(s >= 0.5,
+                    (4.0 * s * s - 1.0) / 3.0,
+                    (1.0 - 4.0 * (1.0 - s) * (1.0 - s)) / 3.0)
+
+
+def _s2_xyz_to_cell(x, y, z, level: int):
+    """Unit-sphere direction -> quad-sphere cell id (the core of
+    s2_cell_id, reused by the edge-transition probe)."""
     ax, ay, az = np.abs(x), np.abs(y), np.abs(z)
     # dominant axis picks the face: 0:+x 1:-x 2:+y 3:-y 4:+z 5:-z
     face = np.where(
@@ -301,13 +320,6 @@ def s2_cell_id(lat, lon, level: int):
     # (u, v) = the two non-dominant coords over the dominant one
     u = np.choose(face.astype(np.int64), [y, -y, -x, x, y, -y]) / dom
     v = np.choose(face.astype(np.int64), [z, z, z, z, -x, x]) / dom
-    # S2's quadratic st transform: near-uniform ground area per cell
-    def _st(p):
-        # max(.., 0) keeps the not-taken where-branch out of sqrt's
-        # domain (|p| <= 1 on the taken branch by construction)
-        return np.where(p >= 0,
-                        0.5 * np.sqrt(np.maximum(1.0 + 3.0 * p, 0.0)),
-                        1.0 - 0.5 * np.sqrt(np.maximum(1.0 - 3.0 * p, 0.0)))
     n = np.uint64(1) << np.uint64(level)
     i = np.clip(np.floor(_st(u) * np.float64(n)), 0, np.float64(n) - 1) \
         .astype(np.uint64)
@@ -317,6 +329,15 @@ def s2_cell_id(lat, lon, level: int):
     out = ((face << _S2_FACE_SHIFT)
            | (np.uint64(level) << _S2_LEVEL_SHIFT) | morton)
     return out.astype(np.uint64).view(np.int64)
+
+
+def s2_cell_id(lat, lon, level: int):
+    """Vectorized (lat, lon) -> quad-sphere cell id at `level`
+    (2^level x 2^level cells per cube face)."""
+    if not 0 <= level <= S2_MAX_LEVEL:
+        raise ValueError(f"level must be in [0, {S2_MAX_LEVEL}]")
+    x, y, z = _latlon_to_xyz(lat, lon)
+    return _s2_xyz_to_cell(x, y, z, level)
 
 
 def s2_decode(cell):
@@ -342,3 +363,371 @@ def s2_parent(cell, parent_level: int):
     out = ((np.asarray(face, dtype=np.uint64) << _S2_FACE_SHIFT)
            | (np.uint64(parent_level) << _S2_LEVEL_SHIFT) | morton)
     return out.astype(np.uint64).view(np.int64)
+
+
+# face-local (u, v, 1) -> world xyz, derived by inverting the encode
+# tables in _s2_xyz_to_cell (dom = 1 scale; unit-normalization is
+# irrelevant for face/cell assignment, which is scale-invariant):
+#   face 0 (+x): ( 1,  u,  v)    face 1 (-x): (-1, -u,  v)
+#   face 2 (+y): (-u,  1,  v)    face 3 (-y): ( u, -1,  v)
+#   face 4 (+z): (-v,  u,  1)    face 5 (-z): ( v, -u, -1)
+_S2_UV_XYZ = (
+    lambda u, v: (np.ones_like(u), u, v),
+    lambda u, v: (-np.ones_like(u), -u, v),
+    lambda u, v: (-u, np.ones_like(u), v),
+    lambda u, v: (u, -np.ones_like(u), v),
+    lambda u, v: (-v, u, np.ones_like(u)),
+    lambda u, v: (v, -u, -np.ones_like(u)),
+)
+
+
+def _s2_uv_to_xyz(face, u, v):
+    """Vectorized (face, u, v) -> (x, y, z) (not normalized)."""
+    face = np.asarray(face, dtype=np.int64)
+    u = np.asarray(u, dtype=np.float64)
+    v = np.asarray(v, dtype=np.float64)
+    x = np.empty_like(u)
+    y = np.empty_like(u)
+    z = np.empty_like(u)
+    for f in range(6):
+        m = face == f
+        if m.any():
+            xf, yf, zf = _S2_UV_XYZ[f](u[m], v[m])
+            x[m], y[m], z[m] = xf, yf, zf
+    return x, y, z
+
+
+def _xyz_to_latlon(x, y, z):
+    hyp = np.hypot(x, y)
+    return (np.degrees(np.arctan2(z, hyp)),
+            np.degrees(np.arctan2(y, x)))
+
+
+def s2_cell_center(cell):
+    """Quad-sphere cell -> (lat, lon) of the cell's st-center."""
+    face, level, i, j = s2_decode(cell)
+    n = (np.int64(1) << level).astype(np.float64)
+    u = _st_inv((i + 0.5) / n)
+    v = _st_inv((j + 0.5) / n)
+    return _xyz_to_latlon(*_s2_uv_to_xyz(face, u, v))
+
+
+def s2_cell_corners(cell):
+    """Quad-sphere cell -> (lats (n, 4), lons (n, 4)) of its 4 corners
+    in (i, j), (i+1, j), (i, j+1), (i+1, j+1) order.  Corners are shared
+    exactly between in-face neighbors and (up to float noise in the two
+    projections) across face edges."""
+    face, level, i, j = s2_decode(cell)
+    n = (np.int64(1) << level).astype(np.float64)
+    di = np.array([0, 1, 0, 1], dtype=np.float64)
+    dj = np.array([0, 0, 1, 1], dtype=np.float64)
+    u = _st_inv((i[:, None] + di[None, :]) / n[:, None])
+    v = _st_inv((j[:, None] + dj[None, :]) / n[:, None])
+    f4 = np.broadcast_to(face[:, None], u.shape)
+    la, lo = _xyz_to_latlon(*_s2_uv_to_xyz(f4.reshape(-1),
+                                           u.reshape(-1), v.reshape(-1)))
+    return la.reshape(u.shape), lo.reshape(u.shape)
+
+
+def _derive_s2_edge_table():
+    """Derive the 24 cube-face edge transitions from the FORWARD
+    projection itself (no hand-written adjacency table to get wrong).
+
+    Faces sharing a cube edge parameterize it with the SAME |uv|
+    coordinate (up to sign), and _st is one fixed function, so their
+    cell boundaries along the edge coincide EXACTLY at every level;
+    a transition is therefore a pure integer rule:
+
+        (face, side) -> (tface, swap, perp_from_low, flip_along)
+
+    where side is 0:i<0  1:i>=n  2:j<0  3:j>=n, `swap` says whether the
+    along-edge index lands in the target's i (True) or j, perp_from_low
+    says depth d maps to row d-1 (True) or n-d, and flip_along mirrors
+    the along index.  The rule is probed at level 10 with depth-1/2
+    samples away from corners (where the phantom-center float probe is
+    provably within half a cell) and verified on extra samples."""
+    L, n = 10, 1 << 10
+    table = {}
+    for face in range(6):
+        for side in range(4):
+            def probe(depth, along):
+                if side == 0:
+                    ii, jj = -depth + 0.5, along + 0.5
+                elif side == 1:
+                    ii, jj = n + depth - 0.5, along + 0.5
+                elif side == 2:
+                    ii, jj = along + 0.5, -depth + 0.5
+                else:
+                    ii, jj = along + 0.5, n + depth - 0.5
+                u = _st_inv(np.array([ii / n]))
+                v = _st_inv(np.array([jj / n]))
+                x, y, z = _s2_uv_to_xyz(np.array([face]), u, v)
+                tf, tl, ti, tj = s2_decode(_s2_xyz_to_cell(x, y, z, L))
+                return int(tf[0]), int(ti[0]), int(tj[0])
+            f1, i1, j1 = probe(1, 100)
+            f2, i2, j2 = probe(1, 900)
+            f3, i3, j3 = probe(2, 100)
+            assert f1 == f2 == f3, (face, side, f1, f2, f3)
+            # the along coordinate is the one that moved between the
+            # two depth-1 samples; the other is the perp coordinate
+            if i1 != i2:
+                swap, a1, a2, p1, p3 = True, i1, i2, j1, j3
+            else:
+                swap, a1, a2, p1, p3 = False, j1, j2, i1, i3
+            assert p1 in (0, n - 1), (face, side, p1)
+            perp_from_low = p1 == 0
+            assert p3 == (1 if perp_from_low else n - 2), (face, side, p3)
+            flip_along = a2 < a1
+            assert (a1, a2) == ((n - 101, n - 901) if flip_along
+                                else (100, 900)), (face, side, a1, a2)
+            # independent verification sample
+            fv, iv, jv = probe(1, 500)
+            av, pv = (iv, jv) if swap else (jv, iv)
+            assert fv == f1 and pv == p1, (face, side)
+            assert av == (n - 501 if flip_along else 500), (face, side)
+            table[(face, side)] = (f1, swap, perp_from_low, flip_along)
+    return table
+
+
+_S2_EDGE_TABLE = _derive_s2_edge_table()
+
+
+def _s2_apply_transition(face, side, depth, along, level: int):
+    """Vectorized integer edge transition: arrays (face, side, depth,
+    along) -> (tface, ti, tj) at `level`."""
+    n = np.int64(1 << level)
+    tface = np.empty_like(face)
+    ti = np.empty_like(along)
+    tj = np.empty_like(along)
+    key = face * 4 + side
+    for (f, s), (tf, swap, plow, flip) in _S2_EDGE_TABLE.items():
+        m = key == f * 4 + s
+        if not m.any():
+            continue
+        perp = depth[m] - 1 if plow else n - depth[m]
+        al = (n - 1) - along[m] if flip else along[m]
+        tface[m] = tf
+        ti[m] = al if swap else perp
+        tj[m] = perp if swap else al
+    return tface, ti, tj
+
+
+def _s2_encode_fij(face, level: int, i, j):
+    morton = _part1by1(j.astype(np.uint64)) \
+        | (_part1by1(i.astype(np.uint64)) << np.uint64(1))
+    out = ((face.astype(np.uint64) << _S2_FACE_SHIFT)
+           | (np.uint64(level) << _S2_LEVEL_SHIFT) | morton)
+    return out.astype(np.uint64).view(np.int64)
+
+
+def s2_neighbors(cells):
+    """(m,) quad-sphere cells -> (m, 8) int64 neighbor matrix, -1 where
+    a neighbor does not exist (the diagonal across a cube vertex: only
+    three cells meet there, so corner cells have 7 neighbors).  Exact
+    across face edges via the derived transition table; the relation is
+    symmetric (property-tested)."""
+    c = np.atleast_1d(np.asarray(cells, dtype=np.int64))
+    face, level, i, j = s2_decode(c)
+    lv = int(level[0]) if c.size else 0
+    if c.size and not np.all(level == lv):
+        raise ValueError("s2_neighbors() requires uniform level")
+    n = np.int64(1 << lv)
+    di = np.array([-1, -1, -1, 0, 0, 1, 1, 1], dtype=np.int64)
+    dj = np.array([-1, 0, 1, -1, 1, -1, 0, 1], dtype=np.int64)
+    ii = i[:, None] + di[None, :]
+    jj = j[:, None] + dj[None, :]
+    fcol = np.broadcast_to(face[:, None], ii.shape)
+    out = np.full(ii.shape, -1, dtype=np.int64)
+
+    i_lo, i_hi = ii < 0, ii >= n
+    j_lo, j_hi = jj < 0, jj >= n
+    inside = ~(i_lo | i_hi | j_lo | j_hi)
+    if inside.any():
+        out[inside] = _s2_encode_fij(fcol[inside], lv,
+                                     ii[inside], jj[inside])
+    # exactly one axis out of range -> an edge transition; both out ->
+    # across a cube vertex -> no such cell (stays -1)
+    one_out = (i_lo | i_hi) ^ (j_lo | j_hi)
+    if one_out.any():
+        side = np.where(i_lo, 0, np.where(i_hi, 1, np.where(j_lo, 2, 3)))
+        depth = np.where(i_lo, -ii, np.where(i_hi, ii - (n - 1),
+                         np.where(j_lo, -jj, jj - (n - 1))))
+        along = np.where(i_lo | i_hi, jj, ii)
+        tf, ti, tj = _s2_apply_transition(
+            fcol[one_out].astype(np.int64), side[one_out],
+            depth[one_out], along[one_out], lv)
+        out[one_out] = _s2_encode_fij(tf, lv, ti, tj)
+    if lv == 0:  # 6 cells: in-face window is empty, dedupe transitions
+        for r in range(out.shape[0]):
+            seen = set()
+            for k in range(8):
+                if out[r, k] in seen or out[r, k] == c[r]:
+                    out[r, k] = -1
+                else:
+                    seen.add(out[r, k])
+    return out
+
+
+def s2_disk(cells, k: int):
+    """(m,) cells -> (m, w) matrix of the k-disk (all cells within k
+    steps of 8-adjacency, the H3 k_ring role on the quad-sphere
+    family), -1 padded.  Interior rows (window fully inside one face)
+    take a direct vectorized path; rows near a face edge take k exact
+    BFS steps over s2_neighbors."""
+    c = np.atleast_1d(np.asarray(cells, dtype=np.int64))
+    if k == 0:
+        return c[:, None].copy()
+    face, level, i, j = s2_decode(c)
+    lv = int(level[0]) if c.size else 0
+    if c.size and not np.all(level == lv):
+        raise ValueError("s2_disk() requires uniform level")
+    n = np.int64(1 << lv)
+    interior = (i >= k) & (i < n - k) & (j >= k) & (j < n - k)
+    w = (2 * k + 1) ** 2
+    out = np.full((len(c), w), -1, dtype=np.int64)
+    if interior.any():
+        di, dj = np.meshgrid(np.arange(-k, k + 1), np.arange(-k, k + 1),
+                             indexing="ij")
+        ii = i[interior, None] + di.reshape(-1)[None, :]
+        jj = j[interior, None] + dj.reshape(-1)[None, :]
+        fc = np.broadcast_to(face[interior, None], ii.shape)
+        out[interior] = _s2_encode_fij(fc, lv, ii, jj)
+    bidx = np.nonzero(~interior)[0]
+    if len(bidx):
+        # per-row BFS, exact; face-edge rows are rare in practice
+        # (fraction ~4k/2^level of the corpus)
+        rows = []
+        for r in bidx:
+            seen = {int(c[r])}
+            frontier = np.array([c[r]], dtype=np.int64)
+            for _ in range(k):
+                nb = s2_neighbors(frontier).reshape(-1)
+                nb = nb[nb >= 0]
+                new = [int(x) for x in nb if int(x) not in seen]
+                if not new:
+                    break
+                seen.update(new)
+                frontier = np.array(sorted(set(new)), dtype=np.int64)
+            rows.append(np.fromiter(seen, dtype=np.int64))
+        wmax = max(w, max(len(x) for x in rows))
+        if wmax > w:
+            pad = np.full((len(c), wmax - w), -1, dtype=np.int64)
+            out = np.concatenate([out, pad], axis=1)
+        for r, vals in zip(bidx, rows):
+            out[r, :len(vals)] = vals
+    return out
+
+
+# latitude (deg) of a cube-face corner: atan(1/sqrt(2)).  Equatorial
+# faces reach at most 45 deg (at their central meridian); polar faces
+# begin at >= _S2_POLAR_LAT.  35.0 (vs 35.264) keeps the face trigger
+# conservative.
+_S2_POLAR_LAT = 35.0
+
+
+def _s2_face_cells_from_uv(face: int, ulo, uhi, vlo, vhi, level: int):
+    """All cells of `face` whose uv rect intersects [ulo,uhi]x[vlo,vhi]
+    (clipped to the face)."""
+    if ulo > 1.0 or uhi < -1.0 or vlo > 1.0 or vhi < -1.0:
+        return np.empty(0, dtype=np.int64)
+    n = 1 << level
+    s0 = int(np.clip(np.floor(_st(max(ulo, -1.0)) * n), 0, n - 1))
+    s1 = int(np.clip(np.floor(_st(min(uhi, 1.0)) * n), 0, n - 1))
+    t0 = int(np.clip(np.floor(_st(max(vlo, -1.0)) * n), 0, n - 1))
+    t1 = int(np.clip(np.floor(_st(min(vhi, 1.0)) * n), 0, n - 1))
+    ii, jj = np.meshgrid(np.arange(s0, s1 + 1, dtype=np.int64),
+                         np.arange(t0, t1 + 1, dtype=np.int64),
+                         indexing="ij")
+    fc = np.full(ii.size, face, dtype=np.int64)
+    return _s2_encode_fij(fc, level, ii.reshape(-1), jj.reshape(-1))
+
+
+def _s2_cover_bbox_nowrap(lat_min, lat_max, lon_min, lon_max, level):
+    """Covering for a bbox with lon_min <= lon_max (no antimeridian)."""
+    parts = []
+    # equatorial faces: u = tan(dlon), v = tan(lat)/cos(dlon); over a
+    # lat x dlon rect, u is monotone in dlon and v takes its extrema at
+    # rect corners or the dlon = 0 meridian, so corner+midline
+    # evaluation bounds the face image of the bbox EXACTLY (superset
+    # after uv->st floor/ceil)
+    for f, lam in ((0, 0.0), (1, 180.0), (2, 90.0), (3, -90.0)):
+        # intersect [lon_min, lon_max] with the face's lon range
+        # [lam - 45, lam + 45] on the circle
+        dlo = (lon_min - lam + 180.0) % 360.0 - 180.0
+        dhi = dlo + (lon_max - lon_min)
+        dlo2 = max(dlo, -45.0)
+        dhi2 = min(dhi, 45.0)
+        if dhi2 < dlo2:
+            continue
+        ulo, uhi = np.tan(np.radians([dlo2, dhi2]))
+        dl_cands = [dlo2, dhi2] + ([0.0] if dlo2 < 0.0 < dhi2 else [])
+        vc = [np.tan(np.radians(la)) / np.cos(np.radians(d))
+              for la in (lat_min, lat_max) for d in dl_cands]
+        parts.append(_s2_face_cells_from_uv(
+            f, float(ulo), float(uhi), min(vc), max(vc), level))
+    # polar faces: (u, v) = r * (sin lon, -cos lon) on +z with
+    # r = cot(lat) (and the mirrored frame on -z); the bbox image is an
+    # annular sector whose uv rect is corners + axis crossings
+    def sector_rect(r0, r1, lo, hi, ux, vx):
+        cand_u, cand_v = [], []
+        for r in (r0, r1):
+            for ln in (lo, hi):
+                s, cc = np.sin(np.radians(ln)), np.cos(np.radians(ln))
+                cand_u.append(r * s * ux)
+                cand_v.append(r * cc * vx)
+        for crossing in (-450.0, -270.0, -90.0, 90.0, 270.0, 450.0):
+            if lo <= crossing <= hi:  # sin = +-1
+                cand_u.append(r1 * (1.0 if np.sin(np.radians(crossing))
+                                    > 0 else -1.0) * ux)
+        for crossing in (-360.0, -180.0, 0.0, 180.0, 360.0):
+            if lo <= crossing <= hi:  # cos = +-1
+                cand_v.append(r1 * (1.0 if np.cos(np.radians(crossing))
+                                    > 0 else -1.0) * vx)
+        return min(cand_u), max(cand_u), min(cand_v), max(cand_v)
+
+    if lat_max >= _S2_POLAR_LAT:       # face 4: u=r sin, v=-r cos
+        la0 = max(lat_min, _S2_POLAR_LAT)
+        r0 = 1.0 / np.tan(np.radians(lat_max)) if lat_max < 90.0 else 0.0
+        r1 = 1.0 / np.tan(np.radians(la0))
+        ulo, uhi, vlo, vhi = sector_rect(r0, r1, lon_min, lon_max,
+                                         1.0, -1.0)
+        parts.append(_s2_face_cells_from_uv(4, ulo, uhi, vlo, vhi, level))
+    if lat_min <= -_S2_POLAR_LAT:      # face 5: u=-r sin, v=r cos
+        la0 = min(lat_max, -_S2_POLAR_LAT)
+        r0 = 1.0 / np.tan(np.radians(-lat_min)) if lat_min > -90.0 else 0.0
+        r1 = 1.0 / np.tan(np.radians(-la0))
+        ulo, uhi, vlo, vhi = sector_rect(r0, r1, lon_min, lon_max,
+                                         -1.0, 1.0)
+        parts.append(_s2_face_cells_from_uv(5, ulo, uhi, vlo, vhi, level))
+    if not parts:
+        return np.empty(0, dtype=np.int64)
+    return np.unique(np.concatenate(parts))
+
+
+def s2_cover_bbox(lat_min, lat_max, lon_min, lon_max, level: int):
+    """Conservative quad-sphere covering of a lat/lon bbox: every
+    level-`level` cell containing any point of the bbox is in the
+    result (superset guarantee, property-tested), computed per face
+    from exact uv-rect bounds of the bbox image — no sampling, no
+    recursion.  Handles the antimeridian when lon_min > lon_max and
+    pole-containing boxes.  Near-tight on equatorial faces; polar
+    faces over-cover by the annular-sector-to-rect ratio."""
+    if not 0 <= level <= S2_MAX_LEVEL:
+        raise ValueError(f"level must be in [0, {S2_MAX_LEVEL}]")
+    if lon_min > lon_max:
+        return np.unique(np.concatenate([
+            _s2_cover_bbox_nowrap(lat_min, lat_max, lon_min, 180.0, level),
+            _s2_cover_bbox_nowrap(lat_min, lat_max, -180.0, lon_max, level),
+        ]))
+    return _s2_cover_bbox_nowrap(lat_min, lat_max, lon_min, lon_max, level)
+
+
+def s2_cover_polygon(ring_lats, ring_lons, level: int):
+    """Quad-sphere covering of a polygon via its bbox (superset
+    guarantee inherited from s2_cover_bbox).  Bbox granularity is
+    looser than the equirect cover_polygon's edge-exact covering —
+    callers that refine with an exact point test (PIP does) only pay
+    extra candidates, never lose rows."""
+    rla = np.asarray(ring_lats, dtype=np.float64)
+    rlo = np.asarray(ring_lons, dtype=np.float64)
+    return s2_cover_bbox(rla.min(), rla.max(), rlo.min(), rlo.max(), level)

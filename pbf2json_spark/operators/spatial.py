@@ -21,11 +21,12 @@ Design per operator (all range-like joins reduced to cell equi joins):
   expected to hold ~margin*k points; rounds are (lvl, cell)-equi joins
   re-ranked by a JVM-side haversine under one rank<=k window
   (WindowGroupLimit partial top-k); a query terminates when its kth
-  distance <= the conservative disk-exit bound.  Escalation grows the
-  ring on partial results and coarsens the level on empty disks;
-  survivors fold into one brute-force scan when its priced op count
-  fits BRUTE_OPS_BUDGET.  This is the reference-free operator the
-  survey maps from 'H3 k-ring expansion + distance re-rank'.
+  distance <= the conservative disk-exit bound.  Escalation coarsens
+  the level at a constant ring (bounded join-key rows, ~margin*k
+  expected candidates per round); survivors fold into one brute-force
+  scan when its priced op count fits BRUTE_OPS_BUDGET.  This is the
+  reference-free operator the survey maps from 'H3 k-ring expansion +
+  distance re-rank'.
 - tile_assignment: decode image bytes (mapInPandas batches), block-
   reduce pixels to a gxg grid, map each block to the geo cell under its
   footprint, and aggregate per cell — raster->vector, 'assign decoded
@@ -98,11 +99,21 @@ def attach_geo(images: DataFrame, res_list=(DEFAULT_RES,),
 
 def point_in_polygon(points: DataFrame, polygons: DataFrame,
                      res: int = DEFAULT_RES,
-                     point_id: str = "image_id") -> DataFrame:
+                     point_id: str = "image_id",
+                     family: str = "equirect") -> DataFrame:
     """(poly_id, <point_id>, lat, lon) for every point inside a polygon.
 
     points must carry (point_id, lat, lon, cell_r{res}); polygons is the
     small dim table (poly_id, ring_lats, ring_lons, ...).
+
+    family='s2' runs the same plan over the quad-sphere index instead
+    (points carry s2_l{res}; covering via cellindex.s2_cover_polygon).
+    Near-uniform cell ground area means a polar-latitude polygon costs
+    the same candidate volume as an equatorial one — the equirect grid
+    over-expands coverings toward the poles because its cells shrink.
+    The s2 covering is bbox-granular (a documented superset), and the
+    exact ray-cast refine is identical, so results match the equirect
+    family row-for-row (pinned in tests).
 
     Plan shape: the polygon coverings are a broadcast (cell -> poly_id)
     table; the candidate join is a cell-equi BroadcastHashJoin; the exact
@@ -129,6 +140,12 @@ def point_in_polygon(points: DataFrame, polygons: DataFrame,
             f"table — split the polygon set or pre-partition both sides "
             f"by covering cell and refine per partition")
 
+    if family not in ("equirect", "s2"):
+        raise ValueError(f"unknown cell family {family!r}")
+    cover_fn = cx.cover_polygon if family == "equirect" \
+        else cx.s2_cover_polygon
+    cell_col = f"cell_r{res}" if family == "equirect" else f"s2_l{res}"
+
     # covering cells per polygon, vectorized numpy, broadcast to executors
     cover_rows = []
     rings = {}
@@ -136,7 +153,7 @@ def point_in_polygon(points: DataFrame, polygons: DataFrame,
         rla = np.asarray(p.ring_lats, dtype=np.float64)
         rlo = np.asarray(p.ring_lons, dtype=np.float64)
         rings[p.poly_id] = (rla, rlo)
-        for c in cx.cover_polygon(rla, rlo, res).tolist():
+        for c in cover_fn(rla, rlo, res).tolist():
             cover_rows.append((c, p.poly_id))
     spark = points.sparkSession
     cover = spark.createDataFrame(
@@ -147,7 +164,7 @@ def point_in_polygon(points: DataFrame, polygons: DataFrame,
 
     cand = points.select(
         F.col(point_id), "lat", "lon",
-        F.col(f"cell_r{res}").alias("cell"),
+        F.col(cell_col).alias("cell"),
     ).join(F.broadcast(cover), "cell").drop("cell")
 
     out_schema = T.StructType([
@@ -223,11 +240,9 @@ def _query_disk_pdf(remaining: pd.DataFrame, levels_used: list,
     return pd.concat(frames, ignore_index=True)
 
 
-# disks beyond this go to the brute-force tail instead: the tail is a
-# single vectorized scan (numpy outer-product, measured ~5s for 859
-# queries x 300k points), while giant exploded disks cost more to
-# broadcast+join than they prune.  At high corpus density rings stay
-# tiny and the cap never binds.
+# legacy guard kept for callers that size their own disks: rings this
+# large cost more to explode+join than they prune (escalation now
+# coarsens the LEVEL at a constant ring instead of growing rings)
 MAX_RING = 16
 
 # total pairwise haversine ops the brute tail may absorb when folding
@@ -235,19 +250,144 @@ MAX_RING = 16
 # vectorized numpy across one node's cores)
 BRUTE_OPS_BUDGET = 2_000_000_000
 
+# density snapshots keyed on the points DataFrame OBJECT (weak refs):
+# the coarse density aggregate is ingest-time metadata at 10^12 rows —
+# a deployment computes it once per table snapshot, never per query
+# batch.  DataFrames are immutable, so caching per object is safe;
+# a new DataFrame (even over the same files) recomputes.
+import weakref
+
+_DENSITY_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+# constructed multi-level cell expressions keyed by the levels tuple:
+# each cell_id_col is ~40 py4j round-trips of Column construction, and
+# rebuilding the full ladder per knn() call measured ~1 s of pure
+# driver time.  Column objects are immutable unresolved expressions
+# over (p_lat, p_lon), so one instance serves every call.
+_CELLS_EXPR_CACHE: dict = {}
+
+
+def _cells_expr(levels: tuple):
+    expr = _CELLS_EXPR_CACHE.get(levels)
+    if expr is None:
+        from ..functions.cellsql import cell_id_col
+        expr = F.array(*[cell_id_col(F.col("p_lat"), F.col("p_lon"), L)
+                         for L in levels])
+        _CELLS_EXPR_CACHE[levels] = expr
+    return expr
+
+
+# above this point count, the brute scan partitions the POINTS (the
+# corpus no longer fits an executor broadcast); below it, the QUERIES
+# are partitioned and the packed point store (ids + unit xyz, ~40 B/pt)
+# ships once per executor — output is exactly Q x k rows with no
+# window/shuffle at all (the partitions x Q x k Arrow emission + final
+# window was the measured 3-6 s dominating the tail at 8.5k queries)
+BRUTE_BCAST_MAX_POINTS = 2_000_000
+
+
+def _unit_xyz(lat: np.ndarray, lon: np.ndarray) -> np.ndarray:
+    """(n, 3) unit sphere vectors.  -q.p orders candidates identically
+    to haversine distance (both monotonic in the central angle), so the
+    candidate SELECTION runs as one BLAS matmul and the trig runs only
+    on the k kept per query."""
+    lar, lor = np.radians(lat), np.radians(lon)
+    cl = np.cos(lar)
+    return np.stack([cl * np.cos(lor), cl * np.sin(lor), np.sin(lar)],
+                    axis=1)
+
+
+def _topk_merge(best_d, best_i, qla, qlo, qxyz, pla, plo, ids, pxyz, k):
+    """Fold one point block into the running per-query top-k, fully
+    vectorized over queries (in place)."""
+    nq = len(qla)
+    npts = len(pla)
+    take = min(k, npts)
+    # ~8 MB distance matrix per chunk: 32 concurrent workers x the
+    # matrix + argpartition copy must stay inside the shared LLC, or
+    # the scan turns memory-bandwidth-bound and stops scaling past 8
+    # cores (measured: 4M-element chunks ran FASTER on 8 workers than
+    # on 32)
+    qchunk = max(1, 1_000_000 // npts)
+    for q0 in range(0, nq, qchunk):
+        q1 = min(q0 + qchunk, nq)
+        d2 = -(qxyz[q0:q1] @ pxyz.T)                 # order-equiv to dist
+        part = np.argpartition(d2, take - 1, axis=1)[:, :take]
+        dh = gk.haversine_m(qla[q0:q1, None], qlo[q0:q1, None],
+                            pla[part], plo[part])    # trig on k only
+        cd = np.concatenate([best_d[q0:q1], dh], axis=1)
+        ci = np.concatenate([best_i[q0:q1], ids[part]], axis=1)
+        # (dist, id) selection order — the same tiebreak the rank<=k
+        # window applies, so equal-distance ties (duplicate coords from
+        # phash-identical images are real) keep the smaller id
+        ckey = np.where(np.isfinite(cd), ci, "~").astype(str)
+        order = np.lexsort((ckey, cd), axis=1)[:, :k]
+        best_d[q0:q1] = np.take_along_axis(cd, order, axis=1)
+        best_i[q0:q1] = np.take_along_axis(ci, order, axis=1)
+
 
 def _brute_force_knn(pts: DataFrame, remaining: pd.DataFrame, k: int,
-                     point_id: str) -> DataFrame:
-    """Exact kNN for queries the cell index can't help (sparse regions):
-    one mapInPandas pass over the points; each partition computes a
-    vectorized haversine matrix against ALL brute queries (chunked) and
-    keeps a running top-k per query, so only partitions x Q x k rows
-    leave the stage — no 'points x queries' shuffle ever materializes."""
+                     point_id: str, n_points: int | None = None) -> DataFrame:
+    """Exact kNN for queries the cell index can't help (sparse regions).
+
+    Two shapes by corpus size:
+
+    - points fit a broadcast (<= BRUTE_BCAST_MAX_POINTS — always true
+      when the tail-folding budget admitted the scan): partition the
+      QUERIES, ship the packed point store once per executor, each task
+      emits its queries' EXACT top-k with ranks — Q x k output rows,
+      zero shuffle, no window.
+    - larger corpus: partition the POINTS; each partition keeps a
+      running top-k per query (only partitions x Q x k rows leave the
+      stage — never the points x queries matrix) and one rank<=k
+      window merges.  This is the 10^12-row shape; it only runs for
+      small Q there because the op-count budget gates the tail."""
+    spark = pts.sparkSession
     qla = remaining["lat"].to_numpy(np.float64)
     qlo = remaining["lon"].to_numpy(np.float64)
     qids = remaining["query_id"].to_numpy()
     nq = len(qids)
-    chunk = max(1, 2_000_000 // 10_000)  # query chunk size per batch
+    qxyz = _unit_xyz(qla, qlo)
+    if n_points is None:
+        n_points = pts.count()
+
+    if n_points <= BRUTE_BCAST_MAX_POINTS:
+        pts_pdf = pts.toPandas()
+        pla = pts_pdf["p_lat"].to_numpy(np.float64)
+        plo = pts_pdf["p_lon"].to_numpy(np.float64)
+        ids = pts_pdf[point_id].to_numpy()
+        pxyz = _unit_xyz(pla, plo)
+        store = spark.sparkContext.broadcast((pla, plo, ids, pxyz))
+        par = spark.sparkContext.defaultParallelism
+        qdf = spark.createDataFrame(
+            remaining[["query_id", "lat", "lon"]],
+            schema="query_id string, lat double, lon double"
+        ).repartition(min(2 * par, max(nq, 1)))
+
+        def gen_q(batches):
+            bpla, bplo, bids, bpxyz = store.value
+            for pdf in batches:
+                m = len(pdf)
+                if m == 0:
+                    continue
+                bla = pdf["lat"].to_numpy(np.float64)
+                blo = pdf["lon"].to_numpy(np.float64)
+                bxyz = _unit_xyz(bla, blo)
+                best_d = np.full((m, k), np.inf)
+                best_i = np.empty((m, k), dtype=object)
+                _topk_merge(best_d, best_i, bla, blo, bxyz,
+                            bpla, bplo, bids, bpxyz, k)
+                mask = np.isfinite(best_d)
+                qi, ki = np.nonzero(mask)
+                yield pd.DataFrame({
+                    "query_id": pdf["query_id"].to_numpy()[qi],
+                    point_id: best_i[qi, ki],
+                    "dist_m": best_d[qi, ki],
+                    "rank": (ki + 1).astype(np.int32)})
+
+        return qdf.mapInPandas(
+            gen_q, f"query_id string, {point_id} string, "
+                   f"dist_m double, rank int")
 
     def gen(batches):
         best_d = np.full((nq, k), np.inf)
@@ -256,18 +396,10 @@ def _brute_force_knn(pts: DataFrame, remaining: pd.DataFrame, k: int,
             pla = pdf["p_lat"].to_numpy(np.float64)
             plo = pdf["p_lon"].to_numpy(np.float64)
             ids = pdf[point_id].to_numpy()
-            for q0 in range(0, nq, chunk):
-                q1 = min(q0 + chunk, nq)
-                d = gk.haversine_m(qla[q0:q1, None], qlo[q0:q1, None],
-                                   pla[None, :], plo[None, :])  # (qc, batch)
-                take = min(k, d.shape[1])
-                part = np.argpartition(d, take - 1, axis=1)[:, :take]
-                for j in range(q1 - q0):
-                    cd = np.concatenate([best_d[q0 + j], d[j, part[j]]])
-                    ci = np.concatenate([best_i[q0 + j], ids[part[j]]])
-                    order = np.argsort(cd, kind="stable")[:k]
-                    best_d[q0 + j] = cd[order]
-                    best_i[q0 + j] = ci[order]
+            if len(pla) == 0:
+                continue
+            _topk_merge(best_d, best_i, qla, qlo, qxyz,
+                        pla, plo, ids, _unit_xyz(pla, plo), k)
         mask = np.isfinite(best_d)
         qi, ki = np.nonzero(mask)
         yield pd.DataFrame({
@@ -301,7 +433,8 @@ def _exit_per_query(remaining: pd.DataFrame, levels_used: list,
 def knn(points: DataFrame, queries: DataFrame, k: int,
         res: int = KNN_RES, initial_ring: int = 1, max_rounds: int = 3,
         point_id: str = "image_id",
-        tail_to_brute_frac: float = 0.1) -> DataFrame:
+        tail_to_brute_frac: float = 0.1,
+        trace: dict | None = None) -> DataFrame:
     """Top-k nearest points per query with exact-termination guarantee.
 
     points: (point_id, lat, lon, cell_r{res}); queries: (query_id, lat,
@@ -319,13 +452,29 @@ def knn(points: DataFrame, queries: DataFrame, k: int,
     top-k, never a full sort of the candidates).
 
     A query terminates when its kth distance <= its conservative disk-
-    exit bound.  Escalation grows the ring at the query's level
-    (ring * sqrt(k/found)); queries that saw nothing — or would need a
-    ring beyond MAX_RING — go to the brute-force tail, which is
-    proportionally cheap exactly when the cell index is useless.
-    Result rows never flow through the driver: round results stay
-    DataFrames (union + localCheckpoint), the driver only collects a
-    Q-row stats aggregate per round for ring bookkeeping."""
+    exit bound.  Escalation COARSENS THE LEVEL at a constant ring by
+    ceil(log4(margin*k/found)) steps — the searched area grows like a
+    ring blowup would, but the per-query join-key rows stay a constant
+    (2r+1)^2 cells and the expected candidate volume stays ~margin*k.
+    Queries stuck at the coarsest level go to the brute-force tail,
+    which is proportionally cheap exactly when the cell index is
+    useless.  Result rows never flow through the driver: round results
+    stay DataFrames (union + localCheckpoint), the driver only
+    collects a Q-row stats aggregate per round for level bookkeeping.
+
+    Pass a dict as `trace` to receive a per-phase wall-clock
+    decomposition (density job, each round's driver prep + Spark job,
+    brute tail, final materialization)."""
+    import time as _time
+    _t0 = _time.perf_counter()
+
+    def _mark(label):
+        nonlocal _t0
+        if trace is not None:
+            now = _time.perf_counter()
+            trace[label] = round(trace.get(label, 0.0) + now - _t0, 3)
+            _t0 = now
+
     spark0 = points.sparkSession
     pts = points.select(
         F.col(point_id), F.col("lat").alias("p_lat"),
@@ -338,6 +487,7 @@ def knn(points: DataFrame, queries: DataFrame, k: int,
     pts = pts.coalesce(2 * par).persist()
 
     remaining = queries.select("query_id", "lat", "lon").toPandas()
+    _mark("collect_queries")
     n_queries0 = max(len(remaining), 1)
     spark = points.sparkSession
     results = []          # DataFrames of (query_id, point_id, dist_m, rank)
@@ -350,42 +500,85 @@ def knn(points: DataFrame, queries: DataFrame, k: int,
     # is expected to hold ~margin*k points, so round 1 usually
     # terminates with a near-minimal candidate set at both density
     # extremes (zipfian hotspots AND empty ocean).
+    LADDER_RES = (9, 7, 5, 3)
     density_res = 9
     density_col = f"cell_r{density_res}"
     margin = 4.0
     if density_col in points.columns and not remaining.empty:
-        counts = points.groupBy(F.col(density_col).alias("c")).count().toPandas()
+        cached = _DENSITY_CACHE.get(points)
+        if cached is not None and cached[0] == density_res:
+            counts = cached[1]
+        else:
+            counts = points.groupBy(
+                F.col(density_col).alias("c")).count().toPandas()
+            try:
+                _DENSITY_CACHE[points] = (density_res, counts)
+            except TypeError:
+                pass  # object not weak-referenceable
+        _mark("density_job")
         n_points = int(counts["count"].sum())
         qla = remaining["lat"].to_numpy(np.float64)
         qlo = remaining["lon"].to_numpy(np.float64)
-        qcoarse = cx.cell_id(qla, qlo, density_res)
-        coarse_disks = cx.disk(qcoarse, 1)          # (Q, 9)
-        # vectorized neighborhood sum (a python dict loop here is the
-        # driver's serial Amdahl term at large Q)
-        cser = pd.Series(counts["count"].to_numpy(np.int64),
-                         index=counts["c"].to_numpy(np.int64))
-        flat = coarse_disks.reshape(-1)
-        vals = cser.reindex(np.where(flat >= 0, flat, 0)).fillna(0) \
-                   .to_numpy(np.int64)
-        vals[flat < 0] = 0
-        local = vals.reshape(coarse_disks.shape).sum(axis=1)
-        # points per res-`res` cell inside the coarse 3x3 neighbourhood
-        per_fine = local / (9 * 4 ** (res - density_res))
+        cells9 = counts["c"].to_numpy(np.int64)
+        cnt9 = counts["count"].to_numpy(np.int64)
+        # density LADDER: the res-9 estimate has a resolution floor —
+        # a globally-sparse region reads 0 in a 3x3 res-9 neighbourhood
+        # (~1 deg) even when a coarser disk would hold plenty of
+        # points, and round 2 sent ALL such queries to the brute tail
+        # (85% of the bench mix).  Parent-aggregating the SAME counts
+        # driver-side (pure numpy, no extra Spark job) gives every
+        # query its 3x3 occupancy at ALL rungs — the initial level
+        # comes from the finest non-empty rung, and the SAME table
+        # later prices escalation (see the round loop); only queries
+        # empty at the coarsest rung (a ~135 deg hole) start at brute.
+        rung_counts = np.zeros((len(remaining), len(LADDER_RES)),
+                               dtype=np.int64)
+        for ri, dres in enumerate(LADDER_RES):
+            if dres == density_res:
+                cells_d, cnt_d = cells9, cnt9
+            else:
+                uc, inv = np.unique(cx.parent(cells9, dres),
+                                    return_inverse=True)
+                cnt_d = np.zeros(len(uc), dtype=np.int64)
+                np.add.at(cnt_d, inv, cnt9)
+                cells_d = uc
+            qc = cx.cell_id(qla, qlo, dres)
+            disks = cx.disk(qc, 1)                   # (Q, <=9)
+            # vectorized neighborhood sum (a python dict loop here is
+            # the driver's serial Amdahl term at large Q)
+            cser = pd.Series(cnt_d, index=cells_d)
+            flat = disks.reshape(-1)
+            vals = cser.reindex(np.where(flat >= 0, flat, 0)).fillna(0) \
+                       .to_numpy(np.int64)
+            vals[flat < 0] = 0
+            rung_counts[:, ri] = vals.reshape(disks.shape).sum(axis=1)
+        nz = rung_counts > 0
+        has = nz.any(axis=1)
+        first = nz.argmax(axis=1)
+        ar = np.arange(len(remaining))
+        per_fine = np.where(
+            has,
+            rung_counts[ar, first]
+            / (9 * 4.0 ** (res - np.array(LADDER_RES)[first])),
+            0.0)
         target_pc = margin * k / float((2 * initial_ring + 1) ** 2)
         with np.errstate(divide="ignore"):
             delta = np.log(np.maximum(per_fine, 1e-12) / target_pc) \
                 / np.log(4.0)
-        qlvl = np.clip(np.round(delta) + res,
-                       max(res - 6, 2), min(res + 6, cx.MAX_RES)) \
-            .astype(np.int64)
-        to_brute = local == 0
+        qlvl = np.clip(np.round(delta) + res, 2,
+                       min(res + 6, cx.MAX_RES)).astype(np.int64)
+        to_brute = ~has
         brute.append(remaining[to_brute])
         remaining = remaining[~to_brute]
         qlvl = qlvl[~to_brute]
+        rung_counts = rung_counts[~to_brute]
     else:
         qlvl = np.full(len(remaining), res, dtype=np.int64)
+        rung_counts = np.zeros((len(remaining), len(LADDER_RES)),
+                               dtype=np.int64)
         n_points = pts.count()
-    lmin, lmax = max(res - 6, 2), min(res + 6, cx.MAX_RES)
+        _mark("density_job")
+    lmin, lmax = 2, min(res + 6, cx.MAX_RES)
     rings = np.full(len(remaining), initial_ring, dtype=np.int64)
 
     # explode the point side to (lvl, cell) keys for the handful of
@@ -401,35 +594,46 @@ def knn(points: DataFrame, queries: DataFrame, k: int,
     pts_ml = None
 
     def build_pts_ml(levels):
-        @F.pandas_udf(T.ArrayType(T.LongType()))
-        def cells_at(lat, lon):
-            la = lat.to_numpy(np.float64)
-            lo = lon.to_numpy(np.float64)
-            m = np.stack([cx.cell_id(la, lo, L) for L in levels], axis=1)
-            return pd.Series(list(m))
-
-        df = pts.select(
+        # multi-level cell keys as PURE JVM bit-op expressions
+        # (functions/cellsql.py, bit-identical to the numpy codec) —
+        # the corpus-side key build stays inside whole-stage codegen
+        # instead of paying an Arrow round-trip per round-0 join.
+        # NOT persisted here: in the common one-round flow the key
+        # table is read exactly once (round 0's `top` is itself
+        # persisted), so the cache write (~1-2 s at 60k x 10 levels)
+        # would be pure overhead — the persist happens lazily the
+        # first time a SECOND round is about to re-read it.
+        return pts.select(
             F.col(point_id), "p_lat", "p_lon",
-            F.posexplode(cells_at("p_lat", "p_lon")).alias("lvl", "cell"))
-        return df.persist()
+            F.posexplode(_cells_expr(tuple(levels))).alias("lvl", "cell"))
 
     pts_ml = build_pts_ml(levels_used)
+    pts_ml_persisted = False
+    _mark("density_prep")
 
     for _round in range(max_rounds):
         if remaining.empty:
             break
         if not {int(v) for v in np.unique(qlvl)} <= set(levels_used):
-            pts_ml.unpersist()
+            if pts_ml_persisted:
+                pts_ml.unpersist()
             levels_used = _levels_for(qlvl)
             pts_ml = build_pts_ml(levels_used)
+            pts_ml_persisted = False
+        if _round >= 1 and not pts_ml_persisted:
+            pts_ml = pts_ml.persist()
+            pts_ml_persisted = True
         lvl_idx = np.array([levels_used.index(int(v)) for v in qlvl],
                            dtype=np.int64)
         est_rows = int(((2 * rings + 1) ** 2).sum())
-        if est_rows <= 50_000:
-            # small expansion: build it driver-side (one createDataFrame)
-            # — beyond ~50k exploded cells the single-threaded driver
-            # Arrow conversion becomes the Amdahl term; the executor
-            # path ships only the Q-row query table
+        if est_rows <= 500_000:
+            # small expansion: build it driver-side (one createDataFrame
+            # over vectorized numpy + Arrow) — measured cheaper than the
+            # executor path up to ~500k exploded cells, because the
+            # executor path costs a python-UDF stage + its own exchange
+            # before the broadcast; beyond that the single-threaded
+            # driver conversion becomes the Amdahl term and the
+            # executor path ships only the Q-row query table
             qcells = spark.createDataFrame(
                 _query_disk_pdf(remaining, levels_used, lvl_idx, rings),
                 schema="query_id string, lat double, lon double, "
@@ -498,12 +702,14 @@ def knn(points: DataFrame, queries: DataFrame, k: int,
                .select("query_id", point_id, "dist_m", "rank", "exit_m")
                .persist())
         round_caches.append(top)
+        _mark(f"r{_round}_prep")
         # driver sees only the Q-row stats aggregate (ring escalation
         # bookkeeping), never the result rows
         stat = (top.groupBy("query_id")
                 .agg(F.count("*").alias("n"),
                      F.max("dist_m").alias("worst"),
                      F.first("exit_m").alias("exit_m"))).toPandas()
+        _mark(f"r{_round}_job")
         stat["done"] = (stat["n"] >= k) & (stat["worst"] <= stat["exit_m"])
         done_ids = set(stat[stat["done"]]["query_id"])
         found_map = dict(zip(stat["query_id"], stat["n"]))
@@ -518,46 +724,64 @@ def knn(points: DataFrame, queries: DataFrame, k: int,
         remaining = remaining[keep_mask]
         rings = rings[keep_mask]
         qlvl = qlvl[keep_mask]
+        rung_counts = rung_counts[keep_mask]
         if remaining.empty:
             break
-        # density-aware escalation from the observed candidate counts
-        # (n == k only bounds found from below -> conservative growth).
-        # An EMPTY disk means the coarse density estimate overshot the
-        # level (hotspot-fringe queries: density varies faster than the
-        # res-9 estimate resolves) -> retry TWO LEVELS COARSER (16x the
-        # area per cell) instead of going straight to brute.
-        found = remaining["query_id"].map(found_map).fillna(0).to_numpy()
-        zero = found == 0
-        coarsen = np.maximum(qlvl - 2, lmin)
-        can_coarsen = zero & (qlvl > lmin)
-        grow = np.where(found > 0,
-                        np.ceil(rings * np.sqrt(k / np.maximum(found, 1)))
-                        + rings + 1,
-                        np.where(can_coarsen, initial_ring,
-                                 MAX_RING + 1)).astype(np.int64)
-        qlvl = np.where(can_coarsen, coarsen, qlvl)
-        to_brute = grow > MAX_RING
+        # PRICED escalation.  Blind geometric growth (bigger ring OR
+        # one-level coarsening by k/found) both blew up at hotspot
+        # fringes: the next-coarser disk suddenly contains a whole
+        # city-center, and a 40k-query bench round streamed 10^8
+        # candidate rows (26-33 s).  Instead, jump straight to the
+        # FINEST ladder rung whose 3x3 occupancy provably holds >=
+        # margin*k points — and PRICE the move: if that rung already
+        # holds a hotspot-scale mass, the equi-join would stream
+        # rung_count candidate rows for this one query, which costs
+        # more than folding the query into the vectorized brute scan
+        # (~n_points cheap numpy ops).  found==0 rounds carry no new
+        # density information, so the ladder table (computed once) is
+        # the decision input, not the round output.
+        enough = rung_counts >= margin * k
+        has_rung = enough.any(axis=1)
+        first = np.where(has_rung, enough.argmax(axis=1),
+                         len(LADDER_RES) - 1)
+        rung_lvl = np.array(LADDER_RES)[first]
+        cand_est = rung_counts[np.arange(len(first)), first]
+        new_lvl = np.clip(np.minimum(rung_lvl, qlvl - 1), lmin, None)
+        join_cand_max = max(50 * k, n_points // 20)
+        to_brute = ((~has_rung) | (cand_est > join_cand_max)
+                    | (new_lvl >= qlvl))
+        qlvl = np.where(to_brute, qlvl, new_lvl)
         # tail-folding: the brute pass is ONE corpus scan whose cost we
         # can PRICE — n_points x remaining vectorized haversines.  When
         # that total fits the budget (a few seconds of numpy on one
-        # node) and a scan is already queued anyway, two more global
-        # barriers are strictly worse than widening that scan.  At
-        # 10^12 points the budget never fits, so escalation rounds
-        # (including the coarsen-retry) carry the load at scale.
-        n_brute_queued = sum(len(b) for b in brute)
+        # node), another global barrier is strictly worse than the
+        # scan.  At 10^12 points the budget never fits, so escalation
+        # rounds carry the load at scale.
         small_tail = (len(remaining) < tail_to_brute_frac * n_queries0
                       or n_points * len(remaining) <= BRUTE_OPS_BUDGET)
-        if small_tail and (n_brute_queued > 0 or _round == max_rounds - 1):
+        if small_tail:
             to_brute[:] = True
         brute.append(remaining[to_brute])
         remaining = remaining[~to_brute]
-        rings = grow[~to_brute]
+        rings = rings[~to_brute]
         qlvl = qlvl[~to_brute]
+        rung_counts = rung_counts[~to_brute]
 
     brute.append(remaining)
     remaining = pd.concat(brute, ignore_index=True)
+    if trace is not None:
+        trace["n_brute_queries"] = int(len(remaining))
     if not remaining.empty:
-        results.append(_brute_force_knn(pts, remaining, k, point_id))
+        brute_df = _brute_force_knn(pts, remaining, k, point_id,
+                                    n_points=n_points)
+        _mark("brute_prep")  # eager part: pts.toPandas + sc.broadcast
+        if trace is not None:
+            # trace-only barrier: split the brute scan out of the final
+            # union so the profile attributes it (production keeps ONE
+            # materialization)
+            brute_df = brute_df.localCheckpoint(eager=True)
+            _mark("brute_scan")
+        results.append(brute_df)
 
     schema = (f"query_id string, {point_id} string, "
               f"dist_m double, rank int")
@@ -570,9 +794,11 @@ def knn(points: DataFrame, queries: DataFrame, k: int,
         out = out.localCheckpoint(eager=True)
     else:
         out = spark.createDataFrame([], schema=schema)
+    _mark("final_materialize")
     for c in round_caches:
         c.unpersist()
-    pts_ml.unpersist()
+    if pts_ml_persisted:
+        pts_ml.unpersist()
     pts.unpersist()
     return out
 
