@@ -8,8 +8,11 @@ share a prefix but diverge per variant, so shingle/signature work is
 real and the LSH join has genuine near-dup structure) and times
 minhash_lsh_pairs at one local[N] level.
 
-Usage: python3 BENCH/minhash_scale.py [cpus] [mult]
-Prints one JSON line {cpus, docs, pairs, wall}.
+Usage: python3 BENCH/minhash_scale.py [cpus] [mult] [lenx]
+`lenx` repeats each text lenx times (whitespace-joined), scaling the
+per-doc shingle/signature/verify compute without changing the pair
+structure — the lever that moves the job from floor-bound to
+compute-bound.  Prints one JSON line {cpus, docs, pairs, wall}.
 """
 
 import json
@@ -26,6 +29,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def main():
     cpus = int(sys.argv[1]) if len(sys.argv) > 1 else 32
     mult = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    lenx = int(sys.argv[3]) if len(sys.argv) > 3 else 1
 
     from pyspark.sql import functions as F
 
@@ -38,7 +42,7 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
     warm_python_workers(spark)
 
-    path = f"/tmp/bench_docs_{mult}x.parquet"
+    path = f"/tmp/bench_docs_{mult}x_{lenx}L.parquet"
     if not os.path.exists(path):
         docs = spark.read.parquet(os.path.join(SF_DIR,
                                                "documents.parquet"))
@@ -47,10 +51,12 @@ def main():
         # variant 0 keeps the original text (original near-dup pairs
         # survive); others append a deterministic divergent tail so
         # each variant's shingle set differs but stays ~similar
+        long_text = F.concat_ws(" ", *([F.col("text")] * lenx)) \
+            if lenx > 1 else F.col("text")
         big = (docs.crossJoin(variants).select(
             F.concat_ws("_", "doc_id", "variant").alias("doc_id"),
-            F.when(F.col("variant") == 0, F.col("text")).otherwise(
-                F.concat(F.col("text"), F.lit(" variant token "),
+            F.when(F.col("variant") == 0, long_text).otherwise(
+                F.concat(long_text, F.lit(" variant token "),
                          F.sha2(F.concat_ws("_", "doc_id", "variant"),
                                 256))).alias("text")))
         big.repartition(64).write.mode("overwrite").parquet(path)
