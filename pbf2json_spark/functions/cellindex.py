@@ -731,3 +731,54 @@ def s2_cover_polygon(ring_lats, ring_lons, level: int):
     rla = np.asarray(ring_lats, dtype=np.float64)
     rlo = np.asarray(ring_lons, dtype=np.float64)
     return s2_cover_bbox(rla.min(), rla.max(), rlo.min(), rlo.max(), level)
+
+
+def s2_disk_exit_distance_m(lat, lon, level: int, k: int):
+    """Conservative lower bound (meters, sphere R=6378137) on the
+    distance from each point to anything OUTSIDE its quad-sphere
+    k-disk — the kNN termination certificate on this family.
+
+    Quad-sphere cell edges are GREAT CIRCLES (constant-u or constant-v
+    curves on a face are central planes), so for a k-window that stays
+    inside one face the bound is exact-to-the-boundary: the min over
+    the 4 window-edge planes of R*asin(|n_hat . p_hat|) — distance to
+    the full great circle lower-bounds distance to the edge arc.
+    Windows that cross a face edge return 0.0 (no certificate; such
+    queries escalate or fold to the brute tail — a ~4k/2^level
+    fraction of a uniform corpus).  Unlike the equirect bound, this
+    one does NOT degrade toward the poles: cell widths are near-
+    uniform, which is the family's point."""
+    la = np.asarray(lat, dtype=np.float64)
+    lo = np.asarray(lon, dtype=np.float64)
+    x, y, z = _latlon_to_xyz(la, lo)
+    cell = _s2_xyz_to_cell(x, y, z, level)
+    face, _, i, j = s2_decode(cell)
+    n = np.int64(1 << level)
+    in_face = (i - k >= 0) & (i + k + 1 <= n) & (j - k >= 0) & (j + k + 1 <= n)
+
+    nf = np.float64(n)
+    u_lo = _st_inv((i - k) / nf)
+    u_hi = _st_inv((i + k + 1) / nf)
+    v_lo = _st_inv((j - k) / nf)
+    v_hi = _st_inv((j + k + 1) / nf)
+
+    # point direction in the FACE frame (x_f = dominant axis, y_f = u
+    # axis, z_f = v axis): p_f = (1, u_p, v_p) up to scale.  Recover
+    # (u_p, v_p) by re-projecting, face-consistently.
+    dom = np.choose(face, [x, -x, y, -y, z, -z])
+    u_p = np.choose(face, [y, -y, -x, x, y, -y]) / dom
+    v_p = np.choose(face, [z, z, z, z, -x, x]) / dom
+    norm_p = np.sqrt(1.0 + u_p * u_p + v_p * v_p)
+
+    def plane_dist(a, b, c):
+        # |n . p| / (|n| |p|) with n, p in the face frame
+        dot = np.abs(a + b * u_p + c * v_p)
+        return EARTH_RADIUS_M * np.arcsin(np.clip(
+            dot / (np.sqrt(a * a + b * b + c * c) * norm_p), 0.0, 1.0))
+
+    d = np.minimum(
+        np.minimum(plane_dist(-u_lo, 1.0, np.zeros_like(u_lo)),
+                   plane_dist(-u_hi, 1.0, np.zeros_like(u_hi))),
+        np.minimum(plane_dist(-v_lo, np.zeros_like(v_lo), 1.0),
+                   plane_dist(-v_hi, np.zeros_like(v_hi), 1.0)))
+    return np.where(in_face, d, 0.0)

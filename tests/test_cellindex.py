@@ -302,3 +302,39 @@ def test_s2_parent_contains_disk_center():
     df, dl, di, dj = cx.s2_decode(direct)
     same = (pf == df) & (pi == di) & (pj == dj)
     assert same.mean() > 0.99  # centers on face seams may flip faces
+
+
+def test_s2_disk_exit_distance_conservative():
+    """The s2 exit bound must lower-bound the true distance from each
+    point to every point whose cell is OUTSIDE the point's k-disk —
+    the kNN termination certificate on the quad-sphere family.  Zero
+    (no certificate) is required whenever the window crosses a face
+    edge, and allowed never otherwise to be exceeded."""
+    rng = np.random.Generator(np.random.Philox(key=np.uint64(41)))
+    n, m = 150, 4000
+    la = rng.uniform(-89, 89, n)
+    lo = rng.uniform(-180, 180, n)
+    qla = rng.uniform(-90, 90, m)
+    qlo = rng.uniform(-180, 180, m)
+    for level, k in ((5, 1), (7, 2), (9, 1)):
+        bound = cx.s2_disk_exit_distance_m(la, lo, level, k)
+        cells = cx.s2_cell_id(la, lo, level)
+        disks = cx.s2_disk(cells, k)
+        qcells = cx.s2_cell_id(qla, qlo, level)
+        for i in range(n):
+            if bound[i] == 0.0:
+                continue
+            inside = np.isin(qcells, disks[i][disks[i] >= 0])
+            if (~inside).sum() == 0:
+                continue
+            d = gk.haversine_m(np.full((~inside).sum(), la[i]),
+                               np.full((~inside).sum(), lo[i]),
+                               qla[~inside], qlo[~inside])
+            assert d.min() >= bound[i] - 1e-6, (level, k, i,
+                                                d.min(), bound[i])
+        assert (bound > 0).mean() > 0.5  # certificates usually exist
+    # windows crossing a face edge carry no certificate
+    edge_la = np.array([0.0, 44.0])
+    edge_lo = np.array([44.999, 0.0])
+    b = cx.s2_disk_exit_distance_m(edge_la, edge_lo, 3, 1)
+    assert b[0] == 0.0
