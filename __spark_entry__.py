@@ -2,7 +2,7 @@
 
 Each ``queries()`` entry runs an engine operator (pbf2json_spark) over
 the driver's parquet tables at ``sf_dir``; ``oracle_sql()`` carries the
-equivalent DuckDB SQL — EVERY query has one (22/22).  Two oracles need
+equivalent DuckDB SQL — EVERY query has one (23/23).  Two oracles need
 machinery beyond plain SQL over the driver tables: q_ann_lsh_topk
 inlines its hyperplanes as generated literals, and q_tile_assignment
 aggregates a committed Spark-free twin fixture because per-pixel image
@@ -253,6 +253,41 @@ def q_pip_rect(spark, sf_dir):
                       F.round("lon", 9).alias("lon_r"))
 
 
+def q_pip_rect_s2(spark, sf_dir):
+    """q_pip_rect on the quad-sphere index family: the covering
+    prefilter runs over s2 cells (near-uniform ground area, the
+    polar-safe partition key) and the exact ray-cast refine makes the
+    result identical to the equirect family — so it shares
+    q_pip_rect's DuckDB oracle verbatim."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from pbf2json_spark.functions import cellindex as cx
+    from pbf2json_spark.operators.spatial import point_in_polygon
+    _ship(spark)
+    pts = _customer_points(spark, sf_dir)
+
+    def s2cell(lat, lon):
+        return pd.Series(cx.s2_cell_id(lat.to_numpy(np.float64),
+                                       lon.to_numpy(np.float64), 9))
+
+    pts = pts.withColumn(
+        "s2_l9", F.pandas_udf(s2cell, T.LongType())("lat", "lon"))
+    rows = []
+    for pid, (la0, la1, lo0, lo1) in RECTS.items():
+        rows.append((pid, [la0, la1, la1, la0, la0],
+                     [lo0, lo0, lo1, lo1, lo0], {}))
+    polys = spark.createDataFrame(
+        rows, schema="poly_id string, ring_lats array<double>, "
+                     "ring_lons array<double>, tags map<string,string>")
+    res = point_in_polygon(pts, polys, res=9, point_id="point_id",
+                           family="s2")
+    return res.select("poly_id", "point_id",
+                      F.round("lat", 9).alias("lat_r"),
+                      F.round("lon", 9).alias("lon_r"))
+
+
 def q_knn_geo(spark, sf_dir):
     from pbf2json_spark.operators.spatial import knn
     _ship(spark)
@@ -493,6 +528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_lsh_topk": q_ann_lsh_topk,
         "q_embedding_near_dup": q_embedding_near_dup,
         "q_pip_rect": q_pip_rect,
+        "q_pip_rect_s2": q_pip_rect_s2,
         "q_knn_geo": q_knn_geo,
         "q_tile_assignment": q_tile_assignment,
         "q_osm_pipeline": q_osm_pipeline,
@@ -890,6 +926,7 @@ WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
         "q_ann_lsh_topk": _ann_lsh_oracle_sql(),
         "q_osm_pipeline": _osm_oracle_sql(),
         "q_pip_rect": _pip_oracle_sql(),
+        "q_pip_rect_s2": _pip_oracle_sql(),
         "q_knn_geo": _knn_oracle_sql(),
         "q_tile_assignment": _tile_oracle_sql(),
     }
