@@ -156,8 +156,18 @@ the same data scale is measured above; correctness parity with the
 reference is pinned by tests/test_denormalize.py (row-for-row vs the
 pure-Python oracle for all 7 reference query shapes).
 """
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
-        f.write(md)
+    # regenerate the measured core but PRESERVE the appendix: every
+    # '## ' section (round-over-round notes, scale legs, root-causes)
+    # appended after the generated tables survives a refresh
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    appendix = ""
+    if os.path.exists(path):
+        old = open(path).read()
+        idx = old.find("\n## ")
+        if idx >= 0:
+            appendix = old[idx:]
+    with open(path, "w") as f:
+        f.write(md + appendix)
     print(json.dumps({"efficiency": {k: round(v, 3) for k, v in effs.items()},
                       "relative_to_ceiling": {k: (round(v, 3) if v else None)
                                               for k, v in rels.items()},

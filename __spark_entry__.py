@@ -2,7 +2,7 @@
 
 Each ``queries()`` entry runs an engine operator (pbf2json_spark) over
 the driver's parquet tables at ``sf_dir``; ``oracle_sql()`` carries the
-equivalent DuckDB SQL — EVERY query has one (23/23).  Two oracles need
+equivalent DuckDB SQL — EVERY query has one (24/24).  Two oracles need
 machinery beyond plain SQL over the driver tables: q_ann_lsh_topk
 inlines its hyperplanes as generated literals, and q_tile_assignment
 aggregates a committed Spark-free twin fixture because per-pixel image
@@ -175,6 +175,19 @@ def q_fingerprint(spark, sf_dir):
 def q_minhash_lsh(spark, sf_dir):
     from pbf2json_spark.operators.dedup import minhash_lsh_pairs
     return minhash_lsh_pairs(_load(spark, sf_dir, "documents"), tau=0.2)
+
+
+
+def q_dedup_groups(spark, sf_dir):
+    """Transitive closure of the minhash near-dup pairs: every doc
+    mapped to its duplicate group's canonical (min-id) representative
+    via large-star/small-star connected components; docs with no near
+    dup represent themselves."""
+    from pbf2json_spark.operators.dedup import (dedup_groups,
+                                                minhash_lsh_pairs)
+    docs = _load(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, tau=0.2)
+    return dedup_groups(pairs, nodes=docs.select("doc_id"))
 
 
 def q_simhash_pairs(spark, sf_dir):  # no SQL oracle: rows-only check
@@ -522,6 +535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lang_id": q_lang_id,
         "q_fingerprint": q_fingerprint,
         "q_minhash_lsh": q_minhash_lsh,
+        "q_dedup_groups": q_dedup_groups,
         "q_simhash_pairs": q_simhash_pairs,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_ann_cosine_topk": q_ann_cosine_topk,
@@ -573,6 +587,23 @@ FROM cand JOIN shing x ON cand.doc_a = x.doc_id
           JOIN shing y ON cand.doc_b = y.doc_id
 WHERE round(len(list_intersect(x.s, y.s))::DOUBLE
             / len(list_distinct(x.s || y.s)), 9) >= {tau}
+"""
+
+
+
+def _dedup_groups_oracle_sql() -> str:
+    """Connected components as a recursive reachability closure over
+    the SAME pair set the minhash oracle derives (tractable at gate
+    scale; the engine side uses O(log n)-round star contraction)."""
+    return f"""
+WITH RECURSIVE pairs AS ({_minhash_oracle_sql()}),
+sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+reach(a, b) AS (SELECT a, b FROM sym
+                UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+mn AS (SELECT a, min(b) AS mb FROM reach GROUP BY a)
+SELECT d.doc_id, coalesce(least(d.doc_id, mn.mb), d.doc_id) AS group_rep
+FROM documents d LEFT JOIN mn ON d.doc_id = mn.a
 """
 
 
@@ -900,6 +931,7 @@ SELECT doc_id,
         1, 15))::BIGINT AS fp
 FROM documents"""),
         "q_minhash_lsh": _minhash_oracle_sql(),
+        "q_dedup_groups": _dedup_groups_oracle_sql(),
         "q_simhash_pairs": _simhash_oracle_sql(),
         "q_ngram_jaccard": _ngram_jaccard_oracle_sql(),
         "q_ann_cosine_topk": ("""

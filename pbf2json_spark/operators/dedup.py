@@ -360,3 +360,120 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
                           bits=SIMHASH_BITS, n_chunks=SIMHASH_CHUNKS)
     return out.select(F.col("id_a").alias("doc_a"),
                       F.col("id_b").alias("doc_b"), "hamming")
+
+
+def _persistent_rdd_ids(spark) -> set:
+    """Ids of currently persisted RDDs (localCheckpoint blocks included)."""
+    out = set()
+    it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()
+    while it.hasNext():
+        out.add(it.next()._1())
+    return out
+
+
+def _unpersist_rdd_ids(spark, ids) -> None:
+    """Deterministically release checkpoint blocks by RDD id.  The
+    Dataset API exposes no unpersist for localCheckpoint (blocks wait
+    for driver GC + ContextCleaner otherwise — fine for one result,
+    not for one block-set per iteration of a loop)."""
+    m = spark.sparkContext._jsc.sc().getPersistentRDDs()
+    for i in ids:
+        opt = m.get(i)
+        if not opt.isEmpty():
+            opt.get().unpersist(False)
+
+
+def dedup_groups(pairs: DataFrame, nodes: DataFrame | None = None,
+                 id_a: str = "doc_a", id_b: str = "doc_b",
+                 max_rounds: int = 25) -> DataFrame:
+    """(doc_id, group_rep): connected components of the near-dup pair
+    graph, giving each document its transitive duplicate group's
+    canonical (minimum-id) representative — the step a real dedup
+    pipeline needs after ANY pairwise operator here (minhash / simhash
+    / ngram / embedding / phash), because near-duplication is not
+    transitive pairwise but suppression decisions must be.
+
+    Algorithm: alternating large-star / small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond") — converges in
+    O(log n) rounds on ANY graph shape, unlike min-label propagation
+    whose round count is the component diameter (a 10^6-long chain of
+    shingled crawl dups would need 10^6 rounds).  Each round is two
+    shuffles (a groupBy-min and a join), all JVM; no collect_list, so
+    a hot star (one template duplicated 10^8 times) never materializes
+    a neighborhood array.  Convergence is detected by an edge-set
+    fingerprint (count + order-independent hash sum), one extra Q-row
+    aggregate per round.
+
+    `nodes` (optional, a 1-col DataFrame of ids): documents with no
+    near-dup pair become their own representative.  All intermediates
+    are unpersisted before return; the result is localCheckpointed
+    (same caller contract as the pair operators)."""
+    # ids keep their input type: casting to string would silently
+    # change which member is "min" (lexicographic "10" < "9"), i.e.
+    # a different canonical representative than the caller's ordering
+    spark = pairs.sparkSession
+    edges = (pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+             .filter(F.col("u") != F.col("v")).distinct().persist())
+    cached = [edges]
+    prev_fp = None
+    prev_ck_ids: set = set()
+    for _ in range(max_rounds):
+        # large-star: every neighbor bigger than u attaches to the min
+        # of u's closed neighborhood
+        sym = edges.union(edges.select(F.col("v").alias("u"),
+                                       F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        m = F.least(F.col("u"), F.col("mn"))
+        ls = (sym.join(mins, "u")
+              .filter(F.col("v") > F.col("u"))
+              .select(F.col("v").alias("u"), m.alias("v"))
+              .filter(F.col("u") != F.col("v")).distinct())
+        # small-star: point edges downward, attach every smaller
+        # neighbor (and u itself) to the min
+        down = ls.select(F.greatest("u", "v").alias("u"),
+                         F.least("u", "v").alias("v"))
+        dmins = down.groupBy("u").agg(F.min("v").alias("mn"))
+        joined = down.join(dmins, "u")          # (u, v, mn), mn <= v < u
+        # localCheckpoint, not persist: each round builds on the last,
+        # and without a LINEAGE cut the logical plan doubles per round
+        # (the 2000-node-path test OOMed the driver just PRINTING the
+        # round-12 plan).  The retired round's blocks are released
+        # DETERMINISTICALLY by rdd-id (a loop that leaves one
+        # block-set per iteration to driver-GC timing is a leak under
+        # memory pressure, exactly what the round-2 review flagged
+        # about persists).
+        before = _persistent_rdd_ids(spark)
+        ss = (joined.select(F.col("v").alias("u"), F.col("mn").alias("v"))
+              .union(joined.select("u", F.col("mn").alias("v")))
+              .filter(F.col("u") != F.col("v")).distinct()
+              .localCheckpoint(eager=True))
+        new_ck_ids = _persistent_rdd_ids(spark) - before
+        # order-independent, overflow-free fingerprint (ANSI-safe: a
+        # plain sum of hashes overflows long under ANSI mode)
+        fp = ss.agg(
+            F.count("*").alias("n"),
+            F.bit_xor(F.xxhash64("u", "v")).alias("h")).first()
+        _unpersist_rdd_ids(spark, prev_ck_ids)   # prev round retired
+        prev_ck_ids = new_ck_ids
+        edges = ss
+        if prev_fp is not None and (fp["n"], fp["h"]) == prev_fp:
+            break
+        prev_fp = (fp["n"], fp["h"])
+
+    # after convergence every component is a star rooted at its min;
+    # rep(u) = min over the closed neighborhood
+    sym = edges.union(edges.select(F.col("v").alias("u"),
+                                   F.col("u").alias("v")))
+    rep = (sym.groupBy("u").agg(F.min("v").alias("mn"))
+           .select(F.col("u").alias("doc_id"),
+                   F.least(F.col("u"), F.col("mn")).alias("group_rep")))
+    if nodes is not None:
+        ids = nodes.select(F.col(nodes.columns[0]).alias("doc_id"))
+        rep = (ids.join(rep, "doc_id", "left")
+               .select("doc_id", F.coalesce("group_rep",
+                                            F.col("doc_id")).alias("group_rep")))
+    out = rep.localCheckpoint(eager=True)
+    _unpersist_rdd_ids(spark, prev_ck_ids)       # last round retired
+    for c in cached:
+        c.unpersist()
+    return out

@@ -380,3 +380,68 @@ def test_simhash_null_text_is_zero(spark):
            for r in dedup.simhash_signatures(df).collect()}
     assert sig[0] == 0
     assert sig[1] != 0
+
+
+def test_dedup_groups_matches_union_find(spark):
+    """Connected-components dedup groups vs a python union-find twin:
+    random graphs, a 2000-node path (the diameter case min-label
+    propagation cannot do in O(log n) rounds), multi-component mixes,
+    and isolated nodes from the universe side."""
+    import numpy as np
+    from pbf2json_spark.operators.dedup import dedup_groups
+
+    rng = np.random.Generator(np.random.Philox(key=np.uint64(77)))
+
+    def uf_groups(n_nodes, edges):
+        parent = list(range(n_nodes))
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+        groups = {}
+        for i in range(n_nodes):
+            groups.setdefault(find(i), []).append(i)
+        return {f"n{i:05d}": f"n{min(g):05d}"
+                for g in groups.values() for i in g}
+
+    cases = []
+    # random sparse graph
+    n = 400
+    e = [(int(a), int(b)) for a, b in
+         zip(rng.integers(0, n, 300), rng.integers(0, n, 300)) if a != b]
+    cases.append((n, e))
+    # long path: worst diameter
+    n2 = 2000
+    cases.append((n2, [(i, i + 1) for i in range(n2 - 1)]))
+    # hot star + satellites
+    cases.append((500, [(0, i) for i in range(1, 400)]))
+
+    for n_nodes, edges in cases:
+        want = uf_groups(n_nodes, edges)
+        pairs = spark.createDataFrame(
+            [(f"n{a:05d}", f"n{b:05d}") for a, b in edges] or
+            [("n00000", "n00000")],
+            schema="doc_a string, doc_b string")
+        universe = spark.createDataFrame(
+            [(f"n{i:05d}",) for i in range(n_nodes)],
+            schema="doc_id string")
+        jsc = spark.sparkContext._jsc.sc()
+        before = jsc.getPersistentRDDs().size()
+        out = dedup_groups(pairs, nodes=universe)
+        # round checkpoints must be released DETERMINISTICALLY by the
+        # operator itself, not left to driver-GC timing: right after
+        # the call — result still referenced, no GC possible — only
+        # the result's own checkpoint may have been added.  The
+        # 2000-node path runs ~12 rounds; a per-round leak would show
+        # a delta of ~12 here.
+        delta = jsc.getPersistentRDDs().size() - before
+        assert delta <= 1, f"round checkpoints leaked: delta={delta}"
+        got_df = out.toPandas()
+        got = dict(zip(got_df["doc_id"], got_df["group_rep"]))
+        assert got == want, (n_nodes, len(edges))
+        del got_df, out
