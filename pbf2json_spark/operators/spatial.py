@@ -207,8 +207,39 @@ def _haversine_col(lat1, lon1, lat2, lon2):
     return 2.0 * gk.EARTH_RADIUS_M * F.atan2(F.sqrt(a), F.sqrt(1.0 - a))
 
 
+class _CellFamily:
+    """Function table giving knn its cell math for one index family.
+    The equirect family additionally has a JVM Column form of cell_id
+    (functions/cellsql.py) so the corpus-side key build stays in
+    codegen; the quad-sphere family falls back to an Arrow pandas UDF
+    for that one projection (documented cost: one Python stage on the
+    round-0 corpus scan)."""
+
+    def __init__(self, name, cell_id, disk, parent, exit_m, col_pat,
+                 max_res, jvm_keys):
+        self.name = name
+        self.cell_id = cell_id
+        self.disk = disk
+        self.parent = parent
+        self.exit_m = exit_m
+        self.col_pat = col_pat
+        self.max_res = max_res
+        self.jvm_keys = jvm_keys
+
+
+_FAMILIES = {
+    "equirect": _CellFamily(
+        "equirect", cx.cell_id, cx.disk, cx.parent,
+        cx.disk_exit_distance_m, "cell_r{}", cx.MAX_RES, True),
+    "s2": _CellFamily(
+        "s2", cx.s2_cell_id, cx.s2_disk, cx.s2_parent,
+        cx.s2_disk_exit_distance_m, "s2_l{}", cx.S2_MAX_LEVEL, False),
+}
+
+
 def _query_disk_pdf(remaining: pd.DataFrame, levels_used: list,
-                    lvl_idx: np.ndarray, rings: np.ndarray) -> pd.DataFrame:
+                    lvl_idx: np.ndarray, rings: np.ndarray,
+                    fam: _CellFamily) -> pd.DataFrame:
     """Driver-side (numpy) expansion of each query's k-disk + exit bound
     with a PER-QUERY (level, ring): queries are the small dim side, so
     no Spark UDF round-trips.  `lvl_idx` indexes into levels_used (the
@@ -222,9 +253,9 @@ def _query_disk_pdf(remaining: pd.DataFrame, levels_used: list,
         level = levels_used[li]
         la = sub["lat"].to_numpy(dtype=np.float64)
         lo = sub["lon"].to_numpy(dtype=np.float64)
-        cells = cx.cell_id(la, lo, level)
-        disks = cx.disk(cells, ring)                 # (n, m), -1 padded
-        exit_m = cx.disk_exit_distance_m(la, lo, level, ring)
+        cells = fam.cell_id(la, lo, level)
+        disks = fam.disk(cells, ring)                # (n, m), -1 padded
+        exit_m = fam.exit_m(la, lo, level, ring)
         n, m = disks.shape
         rep = np.repeat(np.arange(n), m)
         flat = disks.reshape(-1)
@@ -416,7 +447,8 @@ def _brute_force_knn(pts: DataFrame, remaining: pd.DataFrame, k: int,
 
 
 def _exit_per_query(remaining: pd.DataFrame, levels_used: list,
-                    lvl_idx: np.ndarray, rings: np.ndarray) -> np.ndarray:
+                    lvl_idx: np.ndarray, rings: np.ndarray,
+                    fam: _CellFamily) -> np.ndarray:
     """Disk-exit bound per query for mixed (level, ring) sizes
     (order-preserving)."""
     la = remaining["lat"].to_numpy(np.float64)
@@ -426,7 +458,7 @@ def _exit_per_query(remaining: pd.DataFrame, levels_used: list,
     for kv in np.unique(key):
         li, r = int(kv) // 1000, int(kv) % 1000
         m = key == kv
-        out[m] = cx.disk_exit_distance_m(la[m], lo[m], levels_used[li], r)
+        out[m] = fam.exit_m(la[m], lo[m], levels_used[li], r)
     return out
 
 
@@ -434,11 +466,24 @@ def knn(points: DataFrame, queries: DataFrame, k: int,
         res: int = KNN_RES, initial_ring: int = 1, max_rounds: int = 3,
         point_id: str = "image_id",
         tail_to_brute_frac: float = 0.1,
+        family: str = "equirect",
         trace: dict | None = None) -> DataFrame:
     """Top-k nearest points per query with exact-termination guarantee.
 
     points: (point_id, lat, lon, cell_r{res}); queries: (query_id, lat,
     lon).  Returns (query_id, <point_id>, dist_m, rank).
+
+    family='s2' runs the identical ladder on the quad-sphere index
+    (points carry s2_l{density} for the density aggregate): disks are
+    the exact BFS k-disks, the exit certificate is the great-circle
+    plane bound (0 for face-crossing windows, which therefore escalate
+    or fold to brute instead of certifying), and the corpus-side key
+    build uses an Arrow pandas UDF (the JVM bit-op expression is
+    equirect-only).  Results are exact and identical to
+    family='equirect' including (dist, id) tie order — pinned in
+    tests.  The win is at polar latitudes, where equirect disks
+    over-expand as cells shrink while quad-sphere cell area stays
+    within ~2.5x globally.
 
     The index is ADAPTIVE-RESOLUTION: one bounded density aggregation
     (<= 2*4^9 coarse cells) sizes a per-query cell LEVEL so that the
@@ -500,9 +545,12 @@ def knn(points: DataFrame, queries: DataFrame, k: int,
     # is expected to hold ~margin*k points, so round 1 usually
     # terminates with a near-minimal candidate set at both density
     # extremes (zipfian hotspots AND empty ocean).
+    fam = _FAMILIES.get(family)
+    if fam is None:
+        raise ValueError(f"unknown cell family {family!r}")
     LADDER_RES = (9, 7, 5, 3)
     density_res = 9
-    density_col = f"cell_r{density_res}"
+    density_col = fam.col_pat.format(density_res)
     margin = 4.0
     if density_col in points.columns and not remaining.empty:
         cached = _DENSITY_CACHE.get(points)
@@ -537,13 +585,13 @@ def knn(points: DataFrame, queries: DataFrame, k: int,
             if dres == density_res:
                 cells_d, cnt_d = cells9, cnt9
             else:
-                uc, inv = np.unique(cx.parent(cells9, dres),
+                uc, inv = np.unique(fam.parent(cells9, dres),
                                     return_inverse=True)
                 cnt_d = np.zeros(len(uc), dtype=np.int64)
                 np.add.at(cnt_d, inv, cnt9)
                 cells_d = uc
-            qc = cx.cell_id(qla, qlo, dres)
-            disks = cx.disk(qc, 1)                   # (Q, <=9)
+            qc = fam.cell_id(qla, qlo, dres)
+            disks = fam.disk(qc, 1)                  # (Q, <=9)
             # vectorized neighborhood sum (a python dict loop here is
             # the driver's serial Amdahl term at large Q)
             cser = pd.Series(cnt_d, index=cells_d)
@@ -566,7 +614,7 @@ def knn(points: DataFrame, queries: DataFrame, k: int,
             delta = np.log(np.maximum(per_fine, 1e-12) / target_pc) \
                 / np.log(4.0)
         qlvl = np.clip(np.round(delta) + res, 2,
-                       min(res + 6, cx.MAX_RES)).astype(np.int64)
+                       min(res + 6, fam.max_res)).astype(np.int64)
         to_brute = ~has
         brute.append(remaining[to_brute])
         remaining = remaining[~to_brute]
@@ -578,7 +626,7 @@ def knn(points: DataFrame, queries: DataFrame, k: int,
                                dtype=np.int64)
         n_points = pts.count()
         _mark("density_job")
-    lmin, lmax = 2, min(res + 6, cx.MAX_RES)
+    lmin, lmax = 2, min(res + 6, fam.max_res)
     rings = np.full(len(remaining), initial_ring, dtype=np.int64)
 
     # explode the point side to (lvl, cell) keys for the handful of
@@ -603,9 +651,25 @@ def knn(points: DataFrame, queries: DataFrame, k: int,
         # persisted), so the cache write (~1-2 s at 60k x 10 levels)
         # would be pure overhead — the persist happens lazily the
         # first time a SECOND round is about to re-read it.
+        if fam.jvm_keys:
+            return pts.select(
+                F.col(point_id), "p_lat", "p_lon",
+                F.posexplode(_cells_expr(tuple(levels)))
+                 .alias("lvl", "cell"))
+
+        # quad-sphere keys: Arrow pandas UDF (no JVM expression twin)
+        lv = tuple(levels)
+
+        @F.pandas_udf(T.ArrayType(T.LongType()))
+        def cells_at(lat, lon):
+            la = lat.to_numpy(np.float64)
+            lo = lon.to_numpy(np.float64)
+            m = np.stack([fam.cell_id(la, lo, L) for L in lv], axis=1)
+            return pd.Series(list(m))
+
         return pts.select(
             F.col(point_id), "p_lat", "p_lon",
-            F.posexplode(_cells_expr(tuple(levels))).alias("lvl", "cell"))
+            F.posexplode(cells_at("p_lat", "p_lon")).alias("lvl", "cell"))
 
     pts_ml = build_pts_ml(levels_used)
     pts_ml_persisted = False
@@ -635,7 +699,8 @@ def knn(points: DataFrame, queries: DataFrame, k: int,
             # driver conversion becomes the Amdahl term and the
             # executor path ships only the Q-row query table
             qcells = spark.createDataFrame(
-                _query_disk_pdf(remaining, levels_used, lvl_idx, rings),
+                _query_disk_pdf(remaining, levels_used, lvl_idx, rings,
+                                fam),
                 schema="query_id string, lat double, lon double, "
                        "exit_m double, lvl int, cell long")
         else:
@@ -645,7 +710,7 @@ def knn(points: DataFrame, queries: DataFrame, k: int,
             qbase = remaining.assign(
                 ring=rings, lvl=lvl_idx,
                 exit_m=_exit_per_query(remaining, levels_used, lvl_idx,
-                                       rings))
+                                       rings, fam))
             qdf = spark.createDataFrame(
                 qbase, schema="query_id string, lat double, lon double, "
                               "ring int, lvl int, exit_m double")
@@ -664,8 +729,8 @@ def knn(points: DataFrame, queries: DataFrame, k: int,
                 for kv in np.unique(key):
                     li, rr = int(kv) // 1000, int(kv) % 1000
                     idx = np.nonzero(key == kv)[0]
-                    cells = cx.cell_id(la[idx], lo[idx], levels_used[li])
-                    d = cx.disk(cells, rr)
+                    cells = fam.cell_id(la[idx], lo[idx], levels_used[li])
+                    d = fam.disk(cells, rr)
                     if d.min() >= 0:          # no world-edge padding
                         for j, row in zip(idx, d):
                             result[j] = row

@@ -206,3 +206,75 @@ def test_point_in_polygon_s2_family_matches(spark, points_pdf):
     s2_pairs = set(zip(s2["poly_id"], s2["image_id"]))
     assert s2_pairs == eq_pairs
     assert len(s2_pairs) > 50
+
+
+def test_knn_s2_family_matches_equirect(spark, points_pdf):
+    """knn on the quad-sphere ladder returns the IDENTICAL rows as the
+    equirect ladder (both are exact with the same (dist, id) tiebreak;
+    only candidate generation differs)."""
+    K = 5
+    imgs = synth.images_df(spark, N_IMAGES, partitions=8)
+    geo = sp.attach_geo(imgs, res_list=(9, sp.KNN_RES),
+                        s2_levels=(9,)).persist()
+    geo.count()
+    queries = synth.knn_queries_df(spark, 30, k=K)
+    try:
+        eq = sp.knn(geo, queries, k=K).toPandas()
+        s2 = sp.knn(geo, queries, k=K, family="s2").toPandas()
+    finally:
+        geo.unpersist()
+    cols = ["query_id", "rank"]
+    eq = eq.sort_values(cols).reset_index(drop=True)
+    s2 = s2.sort_values(cols).reset_index(drop=True)
+    assert len(eq) == len(s2) == 30 * K
+    assert (eq["image_id"].to_numpy() == s2["image_id"].to_numpy()).all()
+    assert np.allclose(eq["dist_m"].to_numpy(), s2["dist_m"].to_numpy())
+
+
+def test_knn_s2_polar_exact(spark):
+    """s2-family kNN at polar latitudes vs the brute numpy oracle —
+    the regime the quad-sphere ladder exists for (equirect cells
+    degenerate toward the poles; s2 cell area stays ~uniform).  Points
+    include both pole caps, face seams, and a sparse band."""
+    import pandas as pd
+    K = 4
+    rng = np.random.Generator(np.random.Philox(key=np.uint64(91)))
+    n = 1200
+    lat = np.concatenate([
+        rng.uniform(75, 89.99, n // 2),        # north cap
+        rng.uniform(-89.99, -75, n // 3),      # south cap
+        rng.uniform(-10, 10, n - n // 2 - n // 3)])
+    lon = rng.uniform(-180, 180, n)
+    pdf = pd.DataFrame({"point_id": [f"p{i:05d}" for i in range(n)],
+                        "lat": lat, "lon": lon})
+    pts = spark.createDataFrame(pdf)
+    from pbf2json_spark.functions import cellindex as cxx
+    import pyspark.sql.functions as FF
+    import pyspark.sql.types as TT
+
+    @FF.pandas_udf(TT.LongType())
+    def s2l9(la, lo):
+        return pd.Series(cxx.s2_cell_id(la.to_numpy(np.float64),
+                                        lo.to_numpy(np.float64), 9))
+
+    pts = pts.withColumn("s2_l9", s2l9("lat", "lon")).persist()
+    pts.count()
+    qn = 60
+    qlat = np.concatenate([rng.uniform(76, 89.9, 40),
+                           rng.uniform(-89.9, -76, 20)])
+    qlon = rng.uniform(-180, 180, qn)
+    queries = spark.createDataFrame(
+        pd.DataFrame({"query_id": [f"q{i}" for i in range(qn)],
+                      "lat": qlat, "lon": qlon}))
+    try:
+        got = sp.knn(pts, queries, k=K, res=12, initial_ring=2,
+                     point_id="point_id", family="s2").toPandas()
+    finally:
+        pts.unpersist()
+    ids = pdf["point_id"].to_numpy()
+    for qi in range(qn):
+        d = gk.haversine_m(qlat[qi], qlon[qi], lat, lon)
+        order = np.lexsort((ids, d))[:K]
+        sub = got[got["query_id"] == f"q{qi}"].sort_values("rank")
+        assert sub["point_id"].tolist() == ids[order].tolist(), qi
+    assert len(got) == qn * K
