@@ -2,7 +2,7 @@
 
 Each ``queries()`` entry runs an engine operator (pbf2json_spark) over
 the driver's parquet tables at ``sf_dir``; ``oracle_sql()`` carries the
-equivalent DuckDB SQL — EVERY query has one (24/24).  Two oracles need
+equivalent DuckDB SQL — EVERY query has one (25/25).  Two oracles need
 machinery beyond plain SQL over the driver tables: q_ann_lsh_topk
 inlines its hyperplanes as generated literals, and q_tile_assignment
 aggregates a committed Spark-free twin fixture because per-pixel image
@@ -313,6 +313,33 @@ def q_knn_geo(spark, sf_dir):
     return res.select("query_id", "point_id", "rank")
 
 
+
+def q_knn_geo_s2(spark, sf_dir):
+    """q_knn_geo on the quad-sphere ladder (knn family='s2'): exact
+    with the same (dist, id) tiebreak, so it shares q_knn_geo's
+    DuckDB oracle verbatim."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from pbf2json_spark.functions import cellindex as cx
+    from pbf2json_spark.operators.spatial import knn
+    _ship(spark)
+    pts = _customer_points(spark, sf_dir)
+
+    def s2l9(lat, lon):
+        return pd.Series(cx.s2_cell_id(lat.to_numpy(np.float64),
+                                       lon.to_numpy(np.float64), 9))
+
+    pts = pts.withColumn(
+        "s2_l9", F.pandas_udf(s2l9, T.LongType())("lat", "lon"))
+    queries = spark.createDataFrame(
+        KNN_QUERIES, schema="query_id string, lat double, lon double")
+    res = knn(pts, queries, k=KNN_K, res=12, initial_ring=2,
+              point_id="point_id", family="s2")
+    return res.select("query_id", "point_id", "rank")
+
+
 # q_tile_assignment's oracle: the per-pixel decode is not SQL-
 # expressible, so the DuckDB side aggregates an INDEPENDENTLY computed
 # blocks table — the Spark-free pandas twin (synth.gen_tile_blocks_pdf,
@@ -544,6 +571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pip_rect": q_pip_rect,
         "q_pip_rect_s2": q_pip_rect_s2,
         "q_knn_geo": q_knn_geo,
+        "q_knn_geo_s2": q_knn_geo_s2,
         "q_tile_assignment": q_tile_assignment,
         "q_osm_pipeline": q_osm_pipeline,
     }
@@ -960,5 +988,6 @@ WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
         "q_pip_rect": _pip_oracle_sql(),
         "q_pip_rect_s2": _pip_oracle_sql(),
         "q_knn_geo": _knn_oracle_sql(),
+        "q_knn_geo_s2": _knn_oracle_sql(),
         "q_tile_assignment": _tile_oracle_sql(),
     }
