@@ -278,3 +278,38 @@ def test_knn_s2_polar_exact(spark):
         sub = got[got["query_id"] == f"q{qi}"].sort_values("rank")
         assert sub["point_id"].tolist() == ids[order].tolist(), qi
     assert len(got) == qn * K
+
+
+def test_tile_assignment_s2_family(spark):
+    """tile_assignment(family='s2'): block values identical to the
+    equirect family (the decode/reduce is family-independent); cells
+    are the quad-sphere ids of the same block centers."""
+    import pandas as pd
+    imgs = synth.images_df(spark, 300, partitions=4)
+    eq = sp.image_blocks(imgs, grid=4, res=12).toPandas()
+    s2 = sp.image_blocks(imgs, grid=4, res=12, family="s2").toPandas()
+    key = ["image_id", "block_row", "block_col"]
+    eq = eq.sort_values(key).reset_index(drop=True)
+    s2 = s2.sort_values(key).reset_index(drop=True)
+    assert np.allclose(eq["mean_intensity"], s2["mean_intensity"])
+    # Spark-free twin of the block centers -> both families' cells
+    ipdf = synth.gen_images_pdf(300)
+    lat, lon = ic.geotag_from_phash(ipdf["phash"].to_numpy())
+    rows = []
+    for r, (la0, lo0) in zip(ipdf.itertuples(), zip(lat, lon)):
+        _, bh, bw = ic.block_means(ic.decode_image(bytes(r.bytes)), 4)
+        blas, blos = ic.block_centers(la0, lo0, bh, bw, 4)
+        gr, gc = np.meshgrid(np.arange(4), np.arange(4), indexing="ij")
+        for j in range(16):
+            rows.append((r.image_id, gr.reshape(-1)[j], gc.reshape(-1)[j],
+                         blas[j], blos[j]))
+    import pandas as _pd
+    twin = _pd.DataFrame(rows, columns=["image_id", "block_row",
+                                        "block_col", "bla", "blo"]) \
+        .sort_values(key).reset_index(drop=True)
+    assert (s2["cell"].to_numpy()
+            == cx.s2_cell_id(twin["bla"].to_numpy(),
+                             twin["blo"].to_numpy(), 12)).all()
+    assert (eq["cell"].to_numpy()
+            == cx.cell_id(twin["bla"].to_numpy(),
+                          twin["blo"].to_numpy(), 12)).all()
