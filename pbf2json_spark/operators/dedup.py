@@ -459,6 +459,17 @@ def dedup_groups(pairs: DataFrame, nodes: DataFrame | None = None,
         if prev_fp is not None and (fp["n"], fp["h"]) == prev_fp:
             break
         prev_fp = (fp["n"], fp["h"])
+    else:
+        # star contraction converges in O(log n) alternating rounds;
+        # 25 covers any component this engine can hold.  Extracting
+        # reps from an UNconverged edge set would silently split
+        # groups — fail loudly instead.
+        _unpersist_rdd_ids(spark, prev_ck_ids)
+        for c in cached:
+            c.unpersist()
+        raise RuntimeError(
+            f"dedup_groups: no convergence after {max_rounds} rounds "
+            f"(last fingerprint {prev_fp}); raise max_rounds")
 
     # after convergence every component is a star rooted at its min;
     # rep(u) = min over the closed neighborhood

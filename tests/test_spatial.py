@@ -186,7 +186,7 @@ def test_tile_oracle_fixture_pins_operator(spark):
             == a["mean_intensity"].to_numpy()).all(), "operator drifted"
 
 
-def test_point_in_polygon_s2_family_matches(spark, points_pdf):
+def test_point_in_polygon_s2_family_matches(spark):
     """PIP over the quad-sphere index returns the identical pair set:
     the covering family only changes the candidate prefilter, never the
     exact ray-cast refine (VERDICT r2 item 6)."""
@@ -208,7 +208,7 @@ def test_point_in_polygon_s2_family_matches(spark, points_pdf):
     assert len(s2_pairs) > 50
 
 
-def test_knn_s2_family_matches_equirect(spark, points_pdf):
+def test_knn_s2_family_matches_equirect(spark):
     """knn on the quad-sphere ladder returns the IDENTICAL rows as the
     equirect ladder (both are exact with the same (dist, id) tiebreak;
     only candidate generation differs)."""
