@@ -132,7 +132,8 @@ def main() -> None:
             "q_ann_cosine_topk", "q_token_count", "q_exact_dedup")
     extended = ("q_simhash_pairs", "q_ngram_jaccard",
                 "q_embedding_near_dup", "q_ann_lsh_topk",
-                "q_tag_filter_pushdown", "q_osm_pipeline")
+                "q_tag_filter_pushdown", "q_osm_pipeline",
+                "q_dedup_groups", "q_pip_rect_s2", "q_knn_geo_s2")
     names = core + (extended if os.environ.get(
         "SPARK_GRAFT_BENCH_EXTENDED") else ())
     for name in names:
