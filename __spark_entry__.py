@@ -190,7 +190,7 @@ def q_dedup_groups(spark, sf_dir):
     return dedup_groups(pairs, nodes=docs.select("doc_id"))
 
 
-def q_simhash_pairs(spark, sf_dir):  # no SQL oracle: rows-only check
+def q_simhash_pairs(spark, sf_dir):  # full DuckDB oracle: _simhash_oracle_sql
     from pbf2json_spark.operators.dedup import simhash_near_pairs
     _ship(spark)
     return simhash_near_pairs(_load(spark, sf_dir, "documents"),
@@ -350,7 +350,11 @@ def q_knn_geo_s2(spark, sf_dir):
 # twin run and the operator).  avg_intensity is rounded to 6 digits on
 # both sides: per-block values are bit-identical by construction, only
 # the distributed-vs-sequential SUM order differs (last-ulp).
-TILE_ORACLE_FIXTURE = "/root/repo/tests/fixtures/tile_blocks_1000.parquet"
+import os as _os
+
+TILE_ORACLE_FIXTURE = _os.path.join(
+    _os.path.dirname(_os.path.abspath(__file__)),
+    "tests", "fixtures", "tile_blocks_1000.parquet")
 
 
 def q_tile_assignment(spark, sf_dir):

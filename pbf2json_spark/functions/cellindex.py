@@ -652,19 +652,26 @@ def _s2_cover_bbox_nowrap(lat_min, lat_max, lon_min, lon_max, level):
     # after uv->st floor/ceil)
     for f, lam in ((0, 0.0), (1, 180.0), (2, 90.0), (3, -90.0)):
         # intersect [lon_min, lon_max] with the face's lon range
-        # [lam - 45, lam + 45] on the circle
+        # [lam - 45, lam + 45] on the circle.  dlo is wrapped into
+        # [-180, 180), so when the bbox lon span exceeds ~190 deg the
+        # interval [dlo, dhi] can run past +180 and RE-ENTER the face
+        # range from the west — the -360 shift catches that re-entrant
+        # part (ADVICE r3, high: the unshifted interval alone dropped
+        # whole face intersections, e.g. 1704 cells for a (-179,179)
+        # span at level 6).  dlo >= -180 means no +360 shift can hit.
         dlo = (lon_min - lam + 180.0) % 360.0 - 180.0
         dhi = dlo + (lon_max - lon_min)
-        dlo2 = max(dlo, -45.0)
-        dhi2 = min(dhi, 45.0)
-        if dhi2 < dlo2:
-            continue
-        ulo, uhi = np.tan(np.radians([dlo2, dhi2]))
-        dl_cands = [dlo2, dhi2] + ([0.0] if dlo2 < 0.0 < dhi2 else [])
-        vc = [np.tan(np.radians(la)) / np.cos(np.radians(d))
-              for la in (lat_min, lat_max) for d in dl_cands]
-        parts.append(_s2_face_cells_from_uv(
-            f, float(ulo), float(uhi), min(vc), max(vc), level))
+        for shift in (0.0, -360.0):
+            dlo2 = max(dlo + shift, -45.0)
+            dhi2 = min(dhi + shift, 45.0)
+            if dhi2 < dlo2:
+                continue
+            ulo, uhi = np.tan(np.radians([dlo2, dhi2]))
+            dl_cands = [dlo2, dhi2] + ([0.0] if dlo2 < 0.0 < dhi2 else [])
+            vc = [np.tan(np.radians(la)) / np.cos(np.radians(d))
+                  for la in (lat_min, lat_max) for d in dl_cands]
+            parts.append(_s2_face_cells_from_uv(
+                f, float(ulo), float(uhi), min(vc), max(vc), level))
     # polar faces: (u, v) = r * (sin lon, -cos lon) on +z with
     # r = cot(lat) (and the mirrored frame on -z); the bbox image is an
     # annular sector whose uv rect is corners + axis crossings

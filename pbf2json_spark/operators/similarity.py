@@ -278,7 +278,10 @@ def embedding_near_dup_pairs(embeddings: DataFrame, tau: float = 0.95,
     - 'exact': the plain blocked all-pairs join (exact output,
       quadratic in block size — small/bounded blocks only).
     Both modes verify candidates with the same exact cosine pass, so
-    emitted pairs are never false positives."""
+    emitted pairs are never false positives.  When 'auto' lands on the
+    LSH path it WARNS loudly (see below): recall is then < 1, and a
+    caller who needs the previous exhaustive semantics must opt into
+    mode='exact' explicitly."""
     if mode not in ("auto", "exact"):
         raise ValueError(f"mode must be 'auto' or 'exact', got {mode!r}")
     if dim is None:
@@ -303,6 +306,17 @@ def embedding_near_dup_pairs(embeddings: DataFrame, tau: float = 0.95,
                        & (F.col("cell") == F.col("cell_b"))
                        & (F.col("id_a") < F.col("id_b")))
     elif mode == "auto":
+        # the silent exact->approximate switch was an ADVICE r3 finding:
+        # 'auto' keeps LSH as the scale-safe default for the regime where
+        # exact would be quadratic, but it must never be silent
+        import warnings
+        warnings.warn(
+            f"embedding_near_dup_pairs(mode='auto'): the projection grid "
+            f"cannot discriminate at dim={dim}, tau={tau}; engaging "
+            f"sign-LSH candidates (recall < 1 — true pairs can be "
+            f"missed).  Pass mode='exact' for the exhaustive quadratic "
+            f"join, or tune (lsh_tables, lsh_planes) for recall.",
+            stacklevel=2)
         # sign-LSH candidates: persist the bucketed base so the self-
         # join doesn't recompute the bucket UDF per branch
         buckets = make_buckets_udf(dim, lsh_tables, lsh_planes,

@@ -344,6 +344,20 @@ def _topk_merge(best_d, best_i, qla, qlo, qxyz, pla, plo, ids, pxyz, k):
         q1 = min(q0 + qchunk, nq)
         d2 = -(qxyz[q0:q1] @ pxyz.T)                 # order-equiv to dist
         part = np.argpartition(d2, take - 1, axis=1)[:, :take]
+        # boundary-tie widening (ADVICE r3): argpartition discards
+        # equal-valued candidates arbitrarily BEFORE the id tiebreak —
+        # with > take candidates tied at the kth value (duplicate
+        # coordinates from phash-identical images), it could keep
+        # different ids than the rank<=k window.  Rows whose boundary
+        # value has surplus ties re-select id-aware; identical coords
+        # produce bit-identical d2 (one 3-term dot per column), so the
+        # equality test is exact.
+        bv = np.take_along_axis(d2, part, axis=1).max(axis=1)
+        n_le = (d2 <= bv[:, None]).sum(axis=1)
+        for r in np.nonzero(n_le > take)[0]:
+            cidx = np.nonzero(d2[r] <= bv[r])[0]
+            sel = np.lexsort((ids[cidx].astype(str), d2[r][cidx]))[:take]
+            part[r] = cidx[sel]
         dh = gk.haversine_m(qla[q0:q1, None], qlo[q0:q1, None],
                             pla[part], plo[part])    # trig on k only
         cd = np.concatenate([best_d[q0:q1], dh], axis=1)

@@ -281,6 +281,32 @@ def test_s2_cover_bbox_superset():
                                  las[missing[:3]], los[missing[:3]])
 
 
+def test_s2_cover_bbox_superset_wide_spans():
+    """Lon spans in (190, 360] — the ADVICE r3 regression: the face
+    interval wraps past +180 and re-enters the equatorial face range,
+    which the unshifted clipping silently dropped (1704 cells missing
+    for a (-179,179) span at level 6).  Both nowrap (lon_min<=lon_max)
+    and antimeridian (lon_min>lon_max) forms must stay supersets."""
+    rng = np.random.Generator(np.random.Philox(key=np.uint64(61)))
+    # the exact ADVICE repro first
+    cov = set(cx.s2_cover_bbox(-10.0, 10.0, -179.0, 179.0, 6).tolist())
+    la = rng.uniform(-10, 10, 5000)
+    lo = rng.uniform(-179, 179, 5000)
+    assert not set(cx.s2_cell_id(la, lo, 6).tolist()) - cov
+    for _ in range(40):
+        la0, la1 = np.sort(rng.uniform(-90, 90, 2))
+        span = rng.uniform(190.0, 360.0)
+        lo0 = rng.uniform(-180, 180)
+        lo1 = lo0 + span
+        lmin, lmax = (lo0, lo1 - 360.0) if lo1 > 180 else (lo0, lo1)
+        level = int(rng.integers(1, 7))
+        cov = set(cx.s2_cover_bbox(la0, la1, lmin, lmax, level).tolist())
+        pla = rng.uniform(la0, la1, 400)
+        plo = np.mod(rng.uniform(lo0, lo1, 400) + 180.0, 360.0) - 180.0
+        missing = set(cx.s2_cell_id(pla, plo, level).tolist()) - cov
+        assert not missing, (la0, la1, lmin, lmax, level, len(missing))
+
+
 def test_s2_cover_bbox_not_degenerate():
     """Coverings stay useful: a ~1-degree box at level 9 must not cover
     a whole face (the conservative rect math shouldn't blow up)."""

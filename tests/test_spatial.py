@@ -114,6 +114,34 @@ def test_knn_exact_dense_corpus_all_paths(spark):
     pts.unpersist()
 
 
+def test_topk_merge_boundary_ties_keep_smallest_ids():
+    """ADVICE r3: with more than k candidates EQUIDISTANT from the
+    query (duplicate coordinates from phash-identical images),
+    argpartition used to discard ties arbitrarily before the (dist, id)
+    tiebreak — the brute path could keep different ids than the
+    rank<=k window.  The widened selection must keep the smallest ids,
+    for ties both AT the kth boundary and past it."""
+    K = 3
+    # 8 points at the same location, 2 closer distinct ones
+    pla = np.array([10.0, 10.0] + [20.0] * 8)
+    plo = np.array([30.0, 30.1] + [40.0] * 8)
+    ids = np.array([f"p{i:02d}" for i in range(10)], dtype=object)
+    # shuffle point order so argpartition's arbitrary pick would differ
+    perm = np.array([7, 2, 9, 0, 4, 6, 1, 8, 3, 5])
+    pla, plo, ids = pla[perm], plo[perm], ids[perm]
+    qla = np.array([10.0, 20.0])
+    qlo = np.array([30.0, 40.0])
+    best_d = np.full((2, K), np.inf)
+    best_i = np.empty((2, K), dtype=object)
+    sp._topk_merge(best_d, best_i, qla, qlo, sp._unit_xyz(qla, qlo),
+                   pla, plo, ids, sp._unit_xyz(pla, plo), K)
+    # query 0: p00 (dist 0), p01, then the tied block -> smallest id p02
+    assert best_i[0].tolist() == ["p00", "p01", "p02"]
+    # query 1: all 8 colocated points tie at dist 0 -> 3 smallest ids
+    assert best_i[1].tolist() == ["p02", "p03", "p04"]
+    assert np.allclose(best_d[1], 0.0)
+
+
 def test_tile_assignment_matches_pandas(spark, points, points_pdf):
     got = sp.tile_assignment(points, grid=4, res=sp.KNN_RES) \
             .orderBy("cell").toPandas()
