@@ -226,9 +226,20 @@ def q_ann_lsh_topk(spark, sf_dir):
 
 
 def q_embedding_near_dup(spark, sf_dir):
+    """Near-dup pairs over embeddings WITH PLANTED DUPLICATES.  The
+    driver table alone has no within-label pair at cos >= 0.8 (max
+    measured 0.475 at sf0.01), which made this gate vacuously green
+    for three rounds (VERDICT r3 'what's wrong' #1).  Every vec_id %
+    7 == 0 row is re-emitted at vec_id + 1000000 — the exact-grid path
+    must then produce one pair per planted row (cos = 1.0), and the
+    all-pairs DuckDB oracle runs the identical derivation, so the gate
+    now checks real values at every scale factor."""
     from pbf2json_spark.operators.similarity import embedding_near_dup_pairs
-    return embedding_near_dup_pairs(
-        _load(spark, sf_dir, "embeddings"), tau=0.8, dim=64)
+    emb = _load(spark, sf_dir, "embeddings")
+    planted = emb.filter(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding", "label")
+    base = emb.select("vec_id", "embedding", "label").unionByName(planted)
+    return embedding_near_dup_pairs(base, tau=0.8, dim=64)
 
 
 def _cell_udf(res: int):
@@ -980,10 +991,15 @@ ranked AS (SELECT query_id, vec_id, cos,
 SELECT query_id, vec_id, rank::INT AS rank, round(cos, 6) AS cos_r
 FROM ranked WHERE rank <= 10"""),
         "q_embedding_near_dup": ("""
+WITH base AS (
+  SELECT vec_id, embedding, label FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000, embedding, label FROM embeddings
+  WHERE vec_id % 7 = 0)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(list_cosine_similarity(a.embedding::DOUBLE[],
                                     b.embedding::DOUBLE[]), 9) AS cos
-FROM embeddings a JOIN embeddings b
+FROM base a JOIN base b
   ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
                                    b.embedding::DOUBLE[]), 9) >= 0.8"""),
