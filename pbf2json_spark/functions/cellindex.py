@@ -729,15 +729,138 @@ def s2_cover_bbox(lat_min, lat_max, lon_min, lon_max, level: int):
     return _s2_cover_bbox_nowrap(lat_min, lat_max, lon_min, lon_max, level)
 
 
-def s2_cover_polygon(ring_lats, ring_lons, level: int):
-    """Quad-sphere covering of a polygon via its bbox (superset
-    guarantee inherited from s2_cover_bbox).  Bbox granularity is
-    looser than the equirect cover_polygon's edge-exact covering —
-    callers that refine with an exact point test (PIP does) only pay
-    extra candidates, never lose rows."""
+def _s2_cell_latlon_bbox(cells):
+    """EXACT (lat_lo, lat_hi, lon_lo, lon_hi) of each quad-sphere
+    cell (degrees; lon_hi may exceed 180 for cells straddling the
+    antimeridian — callers test the -360/+360-shifted box too).
+
+    Quad-sphere cell edges are GREAT-CIRCLE arcs (constant-u/-v
+    curves are central-plane sections), and lat/lon have no critical
+    points on the sphere except the poles, so a pole-free cell's
+    lat/lon extremes are attained on its 4 edges:
+
+    - latitude range of an arc: endpoint latitudes, plus the circle's
+      z-extreme points +-(z_hat - nz*n_hat)/|...| when they lie
+      within the arc (in-arc test via cross-product orientation).
+    - longitude along a great circle is MONOTONE (d lon/dt has the
+      constant sign of n_z: x*dy - y*dx = nz*(x^2+y^2) - z*(n.p - nz*z)
+      with n.p = 0 collapses to nz), so an arc's lon range is just
+      its endpoint lons ordered by that sign, unwrapped mod 360.
+
+    Cells touching a pole (corner cells of polar faces; the whole
+    polar face at level 0) get the full lon range and the polar lat.
+    """
+    c = np.atleast_1d(np.asarray(cells, dtype=np.int64))
+    face, level, i, j = s2_decode(c)
+    la4, lo4 = s2_cell_corners(c)                       # (n, 4)
+    n_cells = len(c)
+    # corner xyz (normalized) straight from uv for precision
+    nf = (np.int64(1) << level).astype(np.float64)
+    di = np.array([0.0, 1.0, 0.0, 1.0])
+    dj = np.array([0.0, 0.0, 1.0, 1.0])
+    u = _st_inv((i[:, None] + di[None, :]) / nf[:, None])
+    v = _st_inv((j[:, None] + dj[None, :]) / nf[:, None])
+    f4 = np.broadcast_to(face[:, None], u.shape)
+    X, Y, Z = _s2_uv_to_xyz(f4.reshape(-1), u.reshape(-1), v.reshape(-1))
+    P = np.stack([X, Y, Z], axis=1)
+    P /= np.linalg.norm(P, axis=1, keepdims=True)
+    P = P.reshape(n_cells, 4, 3)
+
+    # edges in corner order (i,j)->(i+1,j)->(i+1,j+1)->(i,j+1)->close
+    E1 = np.array([0, 1, 3, 2])
+    E2 = np.array([1, 3, 2, 0])
+    A = P[:, E1, :]                                     # (n, 4, 3)
+    B = P[:, E2, :]
+    lat_a, lat_b = la4[:, E1], la4[:, E2]
+    lon_a, lon_b = lo4[:, E1], lo4[:, E2]
+
+    N = np.cross(A, B)                                  # (n, 4, 3)
+    Nn = np.linalg.norm(N, axis=2, keepdims=True)
+    Nh = N / np.maximum(Nn, 1e-300)
+    nz = Nh[..., 2]
+
+    # circle z-extreme points: +-(z_hat - nz * n_hat)
+    zhat = np.zeros_like(Nh)
+    zhat[..., 2] = 1.0
+    Phi = zhat - nz[..., None] * Nh
+    Phin = np.linalg.norm(Phi, axis=2, keepdims=True)
+    degenerate = (Phin[..., 0] < 1e-12)                 # equatorial edge
+    Phi = Phi / np.maximum(Phin, 1e-300)
+
+    def in_arc(Q):
+        s1 = np.einsum("nek,nek->ne", np.cross(A, Q), Nh)
+        s2 = np.einsum("nek,nek->ne", np.cross(Q, B), Nh)
+        return (s1 >= -1e-12) & (s2 >= -1e-12)
+
+    zmax = np.sqrt(np.clip(1.0 - nz * nz, 0.0, 1.0))
+    hi_in = in_arc(Phi) & ~degenerate
+    lo_in = in_arc(-Phi) & ~degenerate
+    lat_hi_e = np.maximum(lat_a, lat_b)
+    lat_lo_e = np.minimum(lat_a, lat_b)
+    lat_hi_e = np.where(hi_in, np.degrees(np.arcsin(zmax)), lat_hi_e)
+    lat_lo_e = np.where(lo_in, -np.degrees(np.arcsin(zmax)), lat_lo_e)
+    lat_lo = lat_lo_e.min(axis=1)
+    lat_hi = lat_hi_e.max(axis=1)
+
+    # lon interval per edge: [start, start + width] in travel order
+    w_ab = np.mod(lon_b - lon_a, 360.0)
+    w_ba = np.mod(lon_a - lon_b, 360.0)
+    start = np.where(nz > 0, lon_a, lon_b)
+    width = np.where(nz > 0, w_ab, w_ba)
+    meridian = np.abs(nz) < 1e-12                      # lon-constant arc
+    start = np.where(meridian, np.minimum(lon_a, lon_b), start)
+    width = np.where(meridian, np.abs(lon_a - lon_b), width)
+    # recenter on the cell-center lon so the 4 intervals share a frame
+    clat, clon = s2_cell_center(c)
+    a_rel = np.mod(start - clon[:, None] + 180.0, 360.0) - 180.0
+    lon_lo = clon + a_rel.min(axis=1)
+    lon_hi = clon + (a_rel + width).max(axis=1)
+
+    # pole-touching cells: full lon range (and exact polar latitude)
+    pole = (lat_hi > 90.0 - 1e-9) | (lat_lo < -90.0 + 1e-9) \
+        | ((level == 0) & (face >= 4))
+    lat_hi = np.where((level == 0) & (face == 4), 90.0, lat_hi)
+    lat_lo = np.where((level == 0) & (face == 5), -90.0, lat_lo)
+    lon_lo = np.where(pole, -180.0, lon_lo)
+    lon_hi = np.where(pole, 180.0, lon_hi)
+    return lat_lo, lat_hi, lon_lo, lon_hi
+
+
+def s2_cover_polygon(ring_lats, ring_lons, level: int,
+                     method: str = "edge"):
+    """Quad-sphere covering of a polygon.  method='edge' (default
+    since r4) follows the polygon edges like the equirect
+    cover_polygon: candidates come from the ring-bbox covering, and a
+    candidate survives iff its EXACT lat/lon bbox intersects a ring
+    segment or its center lies inside the ring.  Superset guarantee
+    (property-tested): a point inside the polygon lies in some cell;
+    either the ring crosses that cell (then it crosses the cell's
+    bbox -> kept) or the cell is wholly inside (center inside ->
+    kept).  method='bbox' returns the r3 ring-bbox covering
+    (strictly more candidates on anything non-rectangular)."""
     rla = np.asarray(ring_lats, dtype=np.float64)
     rlo = np.asarray(ring_lons, dtype=np.float64)
-    return s2_cover_bbox(rla.min(), rla.max(), rlo.min(), rlo.max(), level)
+    cand = s2_cover_bbox(rla.min(), rla.max(), rlo.min(), rlo.max(),
+                         level)
+    if method == "bbox" or len(cand) == 0:
+        return cand
+    if method != "edge":
+        raise ValueError(f"unknown method {method!r}")
+    lat_lo, lat_hi, lon_lo, lon_hi = _s2_cell_latlon_bbox(cand)
+    x1, y1 = rlo[:-1], rla[:-1]
+    x2, y2 = rlo[1:], rla[1:]
+    if rla[0] != rla[-1] or rlo[0] != rlo[-1]:  # implied closing edge
+        x1 = np.concatenate([x1, rlo[-1:]]); y1 = np.concatenate([y1, rla[-1:]])
+        x2 = np.concatenate([x2, rlo[:1]]); y2 = np.concatenate([y2, rla[:1]])
+    crosses = np.zeros(len(cand), dtype=bool)
+    for shift in (0.0, -360.0, 360.0):  # cell boxes can sit past +-180
+        crosses |= _seg_box_intersect(
+            x1, y1, x2, y2,
+            lon_lo + shift, lat_lo, lon_hi + shift, lat_hi).any(axis=1)
+    from .geokernels import raycast_contains
+    clat, clon = s2_cell_center(cand)
+    inside = raycast_contains(rla, rlo, clat, clon)
+    return cand[crosses | inside]
 
 
 def s2_disk_exit_distance_m(lat, lon, level: int, k: int):
