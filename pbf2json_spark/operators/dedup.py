@@ -385,7 +385,8 @@ def _unpersist_rdd_ids(spark, ids) -> None:
 
 def dedup_groups(pairs: DataFrame, nodes: DataFrame | None = None,
                  id_a: str = "doc_a", id_b: str = "doc_b",
-                 max_rounds: int = 25) -> DataFrame:
+                 max_rounds: int = 25,
+                 stats: dict | None = None) -> DataFrame:
     """(doc_id, group_rep): connected components of the near-dup pair
     graph, giving each document its transitive duplicate group's
     canonical (minimum-id) representative — the step a real dedup
@@ -405,7 +406,9 @@ def dedup_groups(pairs: DataFrame, nodes: DataFrame | None = None,
     aggregate per round.
 
     `nodes` (optional, a 1-col DataFrame of ids): documents with no
-    near-dup pair become their own representative.  All intermediates
+    near-dup pair become their own representative.  Pass a dict as
+    `stats` to receive {'rounds': N} — the O(log n) round-count claim
+    is pinned against this in tests and BENCH/dedup_groups_scale.py.  All intermediates
     are unpersisted before return; the result is localCheckpointed
     (same caller contract as the pair operators)."""
     # ids keep their input type: casting to string would silently
@@ -417,7 +420,9 @@ def dedup_groups(pairs: DataFrame, nodes: DataFrame | None = None,
     cached = [edges]
     prev_fp = None
     prev_ck_ids: set = set()
+    rounds_run = 0
     for _ in range(max_rounds):
+        rounds_run += 1
         # large-star: every neighbor bigger than u attaches to the min
         # of u's closed neighborhood
         sym = edges.union(edges.select(F.col("v").alias("u"),
@@ -456,6 +461,8 @@ def dedup_groups(pairs: DataFrame, nodes: DataFrame | None = None,
         _unpersist_rdd_ids(spark, prev_ck_ids)   # prev round retired
         prev_ck_ids = new_ck_ids
         edges = ss
+        if stats is not None:
+            stats["rounds"] = rounds_run
         if prev_fp is not None and (fp["n"], fp["h"]) == prev_fp:
             break
         prev_fp = (fp["n"], fp["h"])

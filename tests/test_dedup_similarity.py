@@ -432,7 +432,15 @@ def test_dedup_groups_matches_union_find(spark):
             schema="doc_id string")
         jsc = spark.sparkContext._jsc.sc()
         before = jsc.getPersistentRDDs().size()
-        out = dedup_groups(pairs, nodes=universe)
+        stats = {}
+        out = dedup_groups(pairs, nodes=universe, stats=stats)
+        # O(log n) round-count pin (VERDICT r3 item 6): alternating
+        # star contraction must converge within ~2*log2(n) rounds on
+        # EVERY shape here — including the 2000-node path, the case
+        # where min-label propagation would need n rounds
+        import math
+        assert stats["rounds"] <= 2 * math.ceil(
+            math.log2(max(n_nodes, 2))) + 2, (n_nodes, stats)
         # round checkpoints must be released DETERMINISTICALLY by the
         # operator itself, not left to driver-GC timing: right after
         # the call — result still referenced, no GC possible — only
