@@ -6,7 +6,7 @@ equivalent DuckDB SQL — EVERY query has one (25/25).  Two oracles need
 machinery beyond plain SQL over the driver tables: q_ann_lsh_topk
 inlines its hyperplanes as generated literals, and q_tile_assignment
 aggregates a committed Spark-free twin fixture because per-pixel image
-decode is not SQL-expressible (see TILE_ORACLE_FIXTURE below); pytest
+decode is not SQL-expressible (see _tile_oracle_fixture below); pytest
 additionally pins the non-SQL pieces against pure-Python/numpy twins.
 
 Mapping to SURVEY.md §2: P1-P3 (tag DNF) -> q_tag_filter_dnf; J1/A1
@@ -346,9 +346,20 @@ def q_knn_geo_s2(spark, sf_dir):
 # the distributed-vs-sequential SUM order differs (last-ulp).
 import os as _os
 
-TILE_ORACLE_FIXTURE = _os.path.join(
-    _os.path.dirname(_os.path.abspath(__file__)),
-    "tests", "fixtures", "tile_blocks_1000.parquet")
+def _tile_oracle_fixture() -> str:
+    """The twin fixture at the scale the oracle will be compared at.
+    The driver gate runs at sf0.01 (1000 images) — that stays the
+    default.  The two-SF sweep (scripts/check_correctness.py,
+    tests/test_entry_correctness.py via SPARK_GRAFT_TEST_SF_DIR) sets
+    SPARK_GRAFT_ORACLE_SF_DIR so the sf0.1 fixture (10000 images,
+    regenerated by scripts/make_tile_oracle_fixture.py) is used — the
+    fixture is scale-specific by construction, so a fixed path made
+    the sf0.1 sweep fail vacuously."""
+    sf_dir = _os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "")
+    n = max(200, _scale_rows(sf_dir)) if sf_dir else 1000
+    return _os.path.join(
+        _os.path.dirname(_os.path.abspath(__file__)),
+        "tests", "fixtures", f"tile_blocks_{n}.parquet")
 
 
 def q_tile_assignment(spark, sf_dir):
@@ -367,7 +378,7 @@ def _tile_oracle_sql() -> str:
     return f"""
 SELECT cell, count(*) AS n_blocks, count(DISTINCT image_id) AS n_images,
        round(avg(mean_intensity), 6) AS avg_intensity_r
-FROM read_parquet('{TILE_ORACLE_FIXTURE}')
+FROM read_parquet('{_tile_oracle_fixture()}')
 GROUP BY cell
 """
 

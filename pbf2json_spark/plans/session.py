@@ -16,7 +16,13 @@ from pyspark.sql import SparkSession
 def build_session(app_name: str = "pbf2json-spark",
                   cores: int | None = None,
                   shuffle_partitions: int | None = None,
-                  extra: dict | None = None) -> SparkSession:
+                  extra: dict | None = None,
+                  master: str | None = None) -> SparkSession:
+    """`master` overrides the local[cores] default — used by the
+    multi-JVM scaling legs (`local-cluster[N,cores,mem_mb]`: separate
+    executor JVMs + real serialized shuffle over sockets, the closest
+    this sandbox gets to a cluster; `cores` then just sizes shuffle
+    partitions)."""
     # single-host/sandbox environments can stall for minutes resolving the
     # machine hostname; pin local loopback before the JVM launches (no-op
     # when the user already exported a real address for cluster mode)
@@ -29,7 +35,11 @@ def build_session(app_name: str = "pbf2json-spark",
                 "MKL_NUM_THREADS", "NUMEXPR_NUM_THREADS"):
         os.environ.setdefault(var, "1")
     b = SparkSession.builder.appName(app_name)
-    if cores is not None:
+    if master is not None:
+        b = b.master(master)
+        if shuffle_partitions is None and cores is not None:
+            shuffle_partitions = max(cores, 8)
+    elif cores is not None:
         b = b.master(f"local[{cores}]")
         if shuffle_partitions is None:
             shuffle_partitions = max(cores, 8)

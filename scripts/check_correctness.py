@@ -19,6 +19,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 TABLES = ("region nation customer supplier part orders lineitem "
           "events documents embeddings").split()
+# scale-specific oracles (the tile fixture) must match the sweep scale
+os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = SF_DIR
 
 
 def _canon(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -13,12 +13,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pbf2json_spark.sources.synth import gen_tile_blocks_pdf  # noqa: E402
 
-OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                   "tests", "fixtures", "tile_blocks_1000.parquet")
-N, GRID, RES = 1000, 4, 12
+FIXDIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                      "tests", "fixtures")
+GRID, RES = 4, 12
+# 1000 = the driver gate scale (sf0.01); 10000 = the sf0.1 sweep scale
+SIZES = (1000, 10000)
 
 if __name__ == "__main__":
-    pdf = gen_tile_blocks_pdf(N, grid=GRID, res=RES)
-    os.makedirs(os.path.dirname(OUT), exist_ok=True)
-    pdf.to_parquet(OUT, index=False)
-    print(f"wrote {len(pdf)} rows -> {OUT}")
+    sizes = [int(a) for a in sys.argv[1:]] or list(SIZES)
+    os.makedirs(FIXDIR, exist_ok=True)
+    for n in sizes:
+        pdf = gen_tile_blocks_pdf(n, grid=GRID, res=RES)
+        out = os.path.join(FIXDIR, f"tile_blocks_{n}.parquet")
+        pdf.to_parquet(out, index=False)
+        print(f"wrote {len(pdf)} rows -> {out}")

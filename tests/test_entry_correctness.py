@@ -17,6 +17,9 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+# scale-specific oracles (the tile fixture) must match the sweep scale
+os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = SF_DIR
+
 ORACLES = entry.oracle_sql()
 QUERIES = entry.queries()
 
