@@ -159,6 +159,54 @@ def make_buckets_udf(dim: int, n_tables: int = 8, n_planes: int = 6,
     return buckets
 
 
+def ann_lsh_params(target_recall: float, cos_floor: float,
+                   max_tables: int = 64,
+                   planes_range=range(4, 17)) -> dict:
+    """Pick (n_tables, n_planes) for ann_lsh so that a neighbor at
+    cosine >= cos_floor is retrieved with probability >= target_recall
+    (VERDICT r3 'wrong #4': the defaults sit at ~0.5 recall, which a
+    caller should OPT INTO knowingly, not inherit).
+
+    Sign-LSH math: a hyperplane separates two vectors at angle theta
+    with probability theta/pi, so one table of P planes keeps the pair
+    with p = (1 - theta/pi)^P, and T independent tables miss only when
+    all do: recall = 1 - (1 - p)^T.  Deeper tables (higher P) are more
+    selective per probe (expected candidate fraction ~ T/2^P for a
+    random corpus) but need more tables for the same recall; this
+    helper returns the MOST selective (highest P) configuration that
+    reaches the target within max_tables.
+
+    Returns {n_tables, n_planes, predicted_recall,
+    expected_candidate_frac}; raises if the target is unreachable
+    within max_tables (lower it, or lower cos_floor)."""
+    if not 0.0 < target_recall < 1.0:
+        raise ValueError("target_recall must be in (0, 1)")
+    theta = float(np.arccos(np.clip(cos_floor, -1.0, 1.0)))
+    p_plane = 1.0 - theta / np.pi
+    best = None
+    for planes in sorted(planes_range, reverse=True):
+        p = p_plane ** planes
+        if p <= 0.0:
+            continue
+        t = int(np.ceil(np.log(max(1.0 - target_recall, 1e-300))
+                        / np.log(max(1.0 - p, 1e-300))))
+        if t <= max_tables:
+            best = {
+                "n_tables": t, "n_planes": planes,
+                "predicted_recall": round(1.0 - (1.0 - p) ** t, 4),
+                "expected_candidate_frac": round(
+                    min(1.0, t / 2.0 ** planes), 6),
+            }
+            break
+    if best is None:
+        raise ValueError(
+            f"recall {target_recall} at cos >= {cos_floor} needs more "
+            f"than {max_tables} tables at every depth in "
+            f"{list(planes_range)}; lower the target or allow more "
+            f"tables")
+    return best
+
+
 def ann_lsh(embeddings: DataFrame, queries: DataFrame, k: int,
             dim: int, n_tables: int = 8, n_planes: int = 6,
             id_col: str = "vec_id") -> DataFrame:
@@ -167,8 +215,11 @@ def ann_lsh(embeddings: DataFrame, queries: DataFrame, k: int,
     is unrounded, rank orders by (round(cos,9) DESC, id ASC).  At
     10^12 rows, bucket/partition the corpus ON (table, bucket) so each
     probe is a partition-pruned read instead of a full scan; recall/cost
-    is tuned by (n_tables, n_planes) — defaults measured at ~0.5 recall
-    touching ~13% of a weakly-clustered corpus."""
+    is tuned by (n_tables, n_planes) — the DEFAULTS are a cheap-probe
+    configuration measured at only ~0.5 recall touching ~13% of a
+    weakly-clustered corpus: callers with a recall requirement should
+    derive parameters from ann_lsh_params(target_recall, cos_floor)
+    instead of inheriting these."""
     buckets = make_buckets_udf(dim, n_tables, n_planes)
     emb_b = embeddings.select(
         id_col, "embedding",

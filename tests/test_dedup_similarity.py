@@ -453,3 +453,54 @@ def test_dedup_groups_matches_union_find(spark):
         got = dict(zip(got_df["doc_id"], got_df["group_rep"]))
         assert got == want, (n_nodes, len(edges))
         del got_df, out
+
+
+def test_ann_lsh_params_targets_recall(spark):
+    """ann_lsh_params (ADVICE r3 #4): the derived (n_tables, n_planes)
+    must (a) predict >= the requested recall, (b) prefer deeper —
+    more selective — tables when the budget allows, and (c) DELIVER
+    the target recall (within model slack) against the brute-force
+    ground truth on clustered embeddings."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from pbf2json_spark.operators.similarity import (ann_brute_force,
+                                                     ann_lsh,
+                                                     ann_lsh_params)
+
+    cfg = ann_lsh_params(0.8, 0.7)
+    assert cfg["predicted_recall"] >= 0.8
+    shallow = ann_lsh_params(0.8, 0.7, planes_range=range(4, 7))
+    assert cfg["n_planes"] >= shallow["n_planes"]
+    assert cfg["expected_candidate_frac"] <= \
+        shallow["expected_candidate_frac"] + 1e-9
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="tables"):
+        ann_lsh_params(0.999, 0.1, max_tables=4)
+
+    # measured recall: clustered corpus so cos >= 0.7 neighbors exist
+    rng = np.random.Generator(np.random.Philox(key=np.uint64(99)))
+    dim, n_clusters, per = 32, 40, 50
+    centers = rng.normal(size=(n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    vecs = np.repeat(centers, per, axis=0) \
+        + 0.25 * rng.normal(size=(n_clusters * per, dim))
+    pdf = pd.DataFrame({"vec_id": np.arange(len(vecs)),
+                        "embedding": [v.astype("float32") for v in vecs]})
+    emb = spark.createDataFrame(pdf)
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").cast("string").alias("query_id"),
+        F.col("embedding").alias("q_embedding"))
+    K = 10
+    truth = ann_brute_force(emb, queries, k=K).toPandas()
+    truth = truth[truth["cos"] >= 0.7]
+    got = ann_lsh(emb, queries, k=K, dim=dim,
+                  n_tables=cfg["n_tables"],
+                  n_planes=cfg["n_planes"]).toPandas()
+    got_pairs = set(zip(got["query_id"], got["vec_id"]))
+    want_pairs = list(zip(truth["query_id"], truth["vec_id"]))
+    assert want_pairs, "fixture must have cos>=0.7 neighbors"
+    recall = sum(p in got_pairs for p in want_pairs) / len(want_pairs)
+    # the independence model is approximate; allow modest slack
+    assert recall >= 0.7, recall
