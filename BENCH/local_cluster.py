@@ -108,20 +108,19 @@ def run_minhash(master, mult=10, lenx=16):
                    "wall": round(best, 3)}
 
 
-def run_agg(master, n=400_000_000):
-    """jvm_ceiling.py twin: pure-codegen shuffle-light aggregation —
-    the workload whose single-JVM 8->32 ratio was only 1.86x."""
+def run_agg(master, n=1_500_000_000):
+    """EXACT twin of BENCH/jvm_ceiling.py's probe (sum of
+    xxhash64(id) % 1000 over spark.range, shuffle-free, zero Python)
+    so the multi-JVM ratio is directly comparable to the single-JVM
+    1.86x ceiling that probe measured at 8->32 threads."""
     from pyspark.sql import functions as F
     spark, cores = _session(master, "agg")
     reps = int(os.environ.get("SPARK_GRAFT_REPEATS", "3"))
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        df = (spark.range(n, numPartitions=max(2 * cores, 16))
-              .select((F.col("id") % 9973).alias("k"),
-                      (F.sin(F.col("id").cast("double")) ** 2).alias("v"))
-              .groupBy("k").agg(F.sum("v").alias("s")))
-        df.agg(F.sum("s")).collect()
+        spark.range(0, n, 1, 2 * cores).select(
+            F.sum(F.xxhash64("id") % 1000).alias("s")).collect()
         best = min(best, time.perf_counter() - t0)
     return spark, {"workload": "agg", "master": master, "cores": cores,
                    "n": n, "wall": round(best, 3)}

@@ -53,8 +53,11 @@ def main():
     import __spark_entry__ as e
     from pbf2json_spark.plans.session import build_session
 
+    # SPARK_GRAFT_MASTER=local-cluster[4,8,4096] runs the whole gate on
+    # separate executor JVMs (the multi-JVM realism rung)
     spark = build_session(app_name="check-correctness", cores=8,
-                          shuffle_partitions=8)
+                          shuffle_partitions=8,
+                          master=os.environ.get("SPARK_GRAFT_MASTER"))
     spark.sparkContext.setLogLevel("ERROR")
 
     con = duckdb.connect()
