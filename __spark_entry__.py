@@ -321,12 +321,14 @@ def q_knn_geo_s2(spark, sf_dir):
     """q_knn_geo on the quad-sphere ladder (knn family='s2'): exact
     with the same (dist, id) tiebreak, so it shares q_knn_geo's
     DuckDB oracle verbatim.  The density column comes from the
-    pure-JVM s2 codec twin (cellsql.with_s2_cell)."""
+    pure-JVM s2 codec twin (cellsql.with_s2_cell); keep_fst=True is
+    the ingest-time pattern — knn detects the (face, s, t) columns
+    and reuses them instead of re-deriving the trig chain."""
     from pbf2json_spark.functions.cellsql import with_s2_cell
     from pbf2json_spark.operators.spatial import knn
     _ship(spark)
     pts = with_s2_cell(_customer_points(spark, sf_dir),
-                       "lat", "lon", 9, "s2_l9")
+                       "lat", "lon", 9, "s2_l9", keep_fst=True)
     queries = spark.createDataFrame(
         KNN_QUERIES, schema="query_id string, lat double, lon double")
     res = knn(pts, queries, k=KNN_K, res=12, initial_ring=2,

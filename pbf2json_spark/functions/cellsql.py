@@ -387,13 +387,18 @@ def _spread_steps(col: Column, pairs) -> Column:
 
 
 def with_s2_cell(df, lat_col: str, lon_col: str, level: int,
-                 out_col: str):
+                 out_col: str, keep_fst: bool = False):
     """df + one quad-sphere cell column at `level` — the fast path for
     attaching a density/partition key directly to a SCANNED corpus
     (no cache boundary needed): with_s2_fst projections + i/j floors
     + the chained mask-shift spread + one morton combine, all cheap
     hops janino compiles in milliseconds even when fused with a
-    columnar parquet scan."""
+    columnar parquet scan.
+
+    keep_fst=True leaves the (_s2f, _s2s, _s2t) columns on the frame —
+    the ingest-time pattern: downstream consumers (knn family='s2')
+    detect and REUSE them instead of re-deriving the trig chain,
+    saving one projection-chain compile + evaluation per query."""
     if not 0 <= level <= S2_MAX_LEVEL:
         raise ValueError(f"level must be in [0, {S2_MAX_LEVEL}]")
     n = 1 << level
@@ -426,5 +431,7 @@ def with_s2_cell(df, lat_col: str, lon_col: str, level: int,
             .bitwiseOR(F.col("_s2sj")
                        .bitwiseOR(F.shiftleft(F.col("_s2si"), 1))))
     df = df.select("*", cell.alias(out_col))
-    return df.drop("_s2f", "_s2s", "_s2t", "_s2i", "_s2j",
-                   "_s2si", "_s2sj")
+    drop = ["_s2i", "_s2j", "_s2si", "_s2sj"]
+    if not keep_fst:
+        drop += ["_s2f", "_s2s", "_s2t"]
+    return df.drop(*drop)

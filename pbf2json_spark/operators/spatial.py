@@ -542,10 +542,13 @@ def knn(points: DataFrame, queries: DataFrame, k: int,
             _t0 = now
 
     spark0 = points.sparkSession
+    fst_cols = ["_s2f", "_s2s", "_s2t"]
+    have_fst = family == "s2" and set(fst_cols) <= set(points.columns)
     pts = points.select(
         F.col(point_id), F.col("lat").alias("p_lat"),
-        F.col("lon").alias("p_lon"))
-    if family == "s2":
+        F.col("lon").alias("p_lon"),
+        *(fst_cols if have_fst else []))
+    if family == "s2" and not have_fst:
         # materialize (face, s, t) INTO the point-store cache: the key
         # arrays each round are then 3 bit-ops per level off cheap
         # cached columns.  This is both the scale shape (fst is an
@@ -553,7 +556,9 @@ def knn(points: DataFrame, queries: DataFrame, k: int,
         # janino constraint: fusing the trig projection chain AND the
         # posexplode Generate into one columnar-scan stage OOMed the
         # driver in janino's local-variable-map pass (see
-        # cellsql.with_s2_cells docstring).
+        # cellsql.with_s2_cells docstring).  Corpora that already
+        # carry the fst columns (cellsql.with_s2_cell(keep_fst=True),
+        # the ingest-time pattern) skip this derivation entirely.
         from ..functions.cellsql import with_s2_fst
         pts = with_s2_fst(pts, "p_lat", "p_lon")
     # the projected point store is narrow; more partitions than task
