@@ -142,6 +142,41 @@ def test_topk_merge_boundary_ties_keep_smallest_ids():
     assert np.allclose(best_d[1], 0.0)
 
 
+def test_knn_s2_reuses_preattached_fst(spark):
+    """knn(family='s2') over a corpus that already carries the
+    (_s2f,_s2s,_s2t) columns (with_s2_cell(keep_fst=True), the
+    ingest-time pattern) must return IDENTICAL rows to the
+    derive-internally path."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from pbf2json_spark.functions.cellsql import with_s2_cell
+
+    rng = np.random.default_rng(13)
+    n = 3000
+    pdf = pd.DataFrame({"point_id": [f"p{i:05d}" for i in range(n)],
+                        "lat": rng.uniform(-80, 80, n),
+                        "lon": rng.uniform(-180, 180, n)})
+    base = spark.createDataFrame(pdf)
+    with_fst = with_s2_cell(base, "lat", "lon", 9, "s2_l9",
+                            keep_fst=True)
+    assert {"_s2f", "_s2s", "_s2t"} <= set(with_fst.columns)
+    without = with_s2_cell(base, "lat", "lon", 9, "s2_l9")
+    queries = spark.createDataFrame(
+        [("qa", 10.0, 20.0), ("qb", -60.0, 150.0), ("qc", 75.0, -30.0)],
+        schema="query_id string, lat double, lon double")
+    key = ["query_id", "rank"]
+    a = sp.knn(with_fst, queries, k=5, res=12, initial_ring=2,
+               point_id="point_id", family="s2").toPandas() \
+        .sort_values(key).reset_index(drop=True)
+    b = sp.knn(without, queries, k=5, res=12, initial_ring=2,
+               point_id="point_id", family="s2").toPandas() \
+        .sort_values(key).reset_index(drop=True)
+    assert a[["query_id", "point_id", "rank"]].equals(
+        b[["query_id", "point_id", "rank"]])
+    assert np.allclose(a["dist_m"], b["dist_m"])
+
+
 def test_tile_assignment_matches_pandas(spark, points, points_pdf):
     got = sp.tile_assignment(points, grid=4, res=sp.KNN_RES) \
             .orderBy("cell").toPandas()
