@@ -70,7 +70,6 @@ def main():
 
     jsc = spark.sparkContext._jsc.sc()
     stats = {}
-    rdd_peak = 0
     t0 = time.perf_counter()
     out = dedup_groups(pairs, stats=stats)
     n_out = out.count()

@@ -836,8 +836,13 @@ def s2_cover_polygon(ring_lats, ring_lons, level: int,
     (property-tested): a point inside the polygon lies in some cell;
     either the ring crosses that cell (then it crosses the cell's
     bbox -> kept) or the cell is wholly inside (center inside ->
-    kept).  method='bbox' returns the r3 ring-bbox covering
-    (strictly more candidates on anything non-rectangular)."""
+    kept).  PRECONDITION: rings in canonical coordinates (lons in
+    [-180, 180], no antimeridian wrap) — the ring is interpreted as a
+    lat/lon-PLANE polygon, the same convention the equirect
+    cover_polygon and the ray-cast refine use.  method='bbox' returns
+    the r3 ring-bbox covering (strictly more candidates on anything
+    non-rectangular; tolerant of non-canonical lons since it only
+    reads ring min/max)."""
     rla = np.asarray(ring_lats, dtype=np.float64)
     rlo = np.asarray(ring_lons, dtype=np.float64)
     cand = s2_cover_bbox(rla.min(), rla.max(), rlo.min(), rlo.max(),

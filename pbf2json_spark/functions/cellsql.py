@@ -231,54 +231,6 @@ def with_s2_fst(df, lat_col: str, lon_col: str,
     return df.drop("_s2x", "_s2y", "_s2z", "_s2u", "_s2v")
 
 
-def with_s2_fst(df, lat_col: str, lon_col: str,
-                f: str = "_s2f", s: str = "_s2s", t: str = "_s2t"):
-    """df + materialized (face, s, t) columns, via a CHAIN OF CHEAP
-    PROJECTIONS (xyz -> face/u/v -> st) instead of one expression.
-
-    Two measured reasons this is not a single Column:
-    - codegen subexpression elimination does NOT reach inside CASE
-      WHEN branches, so the one-expression form recomputes the trig
-      per branch reference — 3x slower than the Arrow pandas UDF it
-      was meant to beat (1M-row groupBy microbench);
-    - inlining the tree per level of a multi-level array grew the
-      Generate stage's doConsume past janino's 64 KB method limit
-      (whole stage knocked back to interpreted mode).
-    Each hop below references the previous hop's non-cheap aliases
-    more than once, which is exactly the condition under which
-    Catalyst's CollapseProject keeps the projections separate."""
-    la = F.col(lat_col) * F.lit(_DEG2RAD)
-    lo = F.col(lon_col) * F.lit(_DEG2RAD)
-    cl = F.cos(la)
-    df = df.select("*",
-                   (cl * F.cos(lo)).alias("_s2x"),
-                   (cl * F.sin(lo)).alias("_s2y"),
-                   F.sin(la).alias("_s2z"))
-    x, y, z = F.col("_s2x"), F.col("_s2y"), F.col("_s2z")
-    ax, ay, az = F.abs(x), F.abs(y), F.abs(z)
-    face = F.when((ax >= ay) & (ax >= az),
-                  F.when(x >= 0.0, F.lit(0)).otherwise(F.lit(1))) \
-            .otherwise(
-                F.when(ay >= az,
-                       F.when(y >= 0.0, F.lit(2)).otherwise(F.lit(3)))
-                 .otherwise(
-                       F.when(z >= 0.0, F.lit(4)).otherwise(F.lit(5)))) \
-            .cast("long")
-
-    df = df.select("*", face.alias(f))
-    fc = F.col(f)
-    dom = _s2_choose(fc, [x, -x, y, -y, z, -z])
-    df = df.select("*",
-                   (_s2_choose(fc, [y, -y, -x, x, y, -y]) / dom)
-                   .alias("_s2u"),
-                   (_s2_choose(fc, [z, z, z, z, -x, x]) / dom)
-                   .alias("_s2v"))
-    df = df.select("*",
-                   _st_col(F.col("_s2u")).alias(s),
-                   _st_col(F.col("_s2v")).alias(t))
-    return df.drop("_s2x", "_s2y", "_s2z", "_s2u", "_s2v")
-
-
 # _part1by1's mask-shift cascade, as CHAINED PROJECTIONS (each step
 # references the previous step's alias twice, which is exactly what
 # keeps CollapseProject from re-inlining it into a doubled tree).
@@ -373,19 +325,6 @@ def with_s2_cells(df, lat_col: str, lon_col: str, levels,
 # keeps them for the kNN path).  Two steps per projection: the input
 # of each step is a cheap column ref, so the within-projection tree
 # stays tiny, and three projections keep the fused chain shallow.
-_SPREAD_MASKS = (0x0000FFFF0000FFFF, 0x00FF00FF00FF00FF,
-                 0x0F0F0F0F0F0F0F0F, 0x3333333333333333,
-                 0x5555555555555555)
-_SPREAD_SHIFTS = (16, 8, 4, 2, 1)
-
-
-def _spread_steps(col: Column, pairs) -> Column:
-    out = col
-    for m, sh in pairs:
-        out = out.bitwiseOR(F.shiftleft(out, sh)).bitwiseAND(F.lit(m))
-    return out
-
-
 def with_s2_cell(df, lat_col: str, lon_col: str, level: int,
                  out_col: str, keep_fst: bool = False):
     """df + one quad-sphere cell column at `level` — the fast path for

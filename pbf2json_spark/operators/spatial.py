@@ -111,7 +111,8 @@ def point_in_polygon(points: DataFrame, polygons: DataFrame,
     Near-uniform cell ground area means a polar-latitude polygon costs
     the same candidate volume as an equatorial one — the equirect grid
     over-expands coverings toward the poles because its cells shrink.
-    The s2 covering is bbox-granular (a documented superset), and the
+    The s2 covering is edge-exact since r4 (per-cell exact lat/lon
+    boxes vs the ring segments — cellindex.s2_cover_polygon), and the
     exact ray-cast refine is identical, so results match the equirect
     family row-for-row (pinned in tests).
 
@@ -290,7 +291,10 @@ import weakref
 
 _DENSITY_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
-# constructed multi-level cell expressions keyed by (family, levels):
+# constructed equirect multi-level cell expressions keyed by the
+# levels tuple (the s2 family's array is rebuilt per call — it is a
+# handful of bit-op Columns over materialized fst columns, too cheap
+# to cache):
 # each cell_id_col is ~40 py4j round-trips of Column construction, and
 # rebuilding the full ladder per knn() call measured ~1 s of pure
 # driver time.  Column objects are immutable unresolved expressions
@@ -336,6 +340,7 @@ def _topk_merge(best_d, best_i, qla, qlo, qxyz, pla, plo, ids, pxyz, k):
     nq = len(qla)
     npts = len(pla)
     take = min(k, npts)
+    ids_str = None  # lazily built once, only if boundary ties appear
     # ~8 MB distance matrix per chunk: 32 concurrent workers x the
     # matrix + argpartition copy must stay inside the shared LLC, or
     # the scan turns memory-bandwidth-bound and stops scaling past 8
@@ -356,9 +361,12 @@ def _topk_merge(best_d, best_i, qla, qlo, qxyz, pla, plo, ids, pxyz, k):
         # equality test is exact.
         bv = np.take_along_axis(d2, part, axis=1).max(axis=1)
         n_le = (d2 <= bv[:, None]).sum(axis=1)
-        for r in np.nonzero(n_le > take)[0]:
+        tied_rows = np.nonzero(n_le > take)[0]
+        if len(tied_rows) and ids_str is None:
+            ids_str = ids.astype(str)   # one conversion per merge call
+        for r in tied_rows:
             cidx = np.nonzero(d2[r] <= bv[r])[0]
-            sel = np.lexsort((ids[cidx].astype(str), d2[r][cidx]))[:take]
+            sel = np.lexsort((ids_str[cidx], d2[r][cidx]))[:take]
             part[r] = cidx[sel]
         dh = gk.haversine_m(qla[q0:q1, None], qlo[q0:q1, None],
                             pla[part], plo[part])    # trig on k only
@@ -498,7 +506,8 @@ def knn(points: DataFrame, queries: DataFrame, k: int,
     plane bound (0 for face-crossing windows, which therefore escalate
     or fold to brute instead of certifying), and the corpus-side key
     build is a pure JVM expression just like the equirect family
-    (cellsql.s2_cells_array_col, bit-identical to the numpy codec —
+    (cellsql.s2_cells_from_fst over materialized face/s/t columns,
+    bit-identical to the numpy codec —
     no Python stage anywhere in the hot path).  Results are exact and
     identical to
     family='equirect' including (dist, id) tie order — pinned in
@@ -558,7 +567,11 @@ def knn(points: DataFrame, queries: DataFrame, k: int,
         # driver in janino's local-variable-map pass (see
         # cellsql.with_s2_cells docstring).  Corpora that already
         # carry the fst columns (cellsql.with_s2_cell(keep_fst=True),
-        # the ingest-time pattern) skip this derivation entirely.
+        # the ingest-time pattern) skip this derivation entirely —
+        # CALLER CONTRACT: like any precomputed index column, fst must
+        # have been derived from the CURRENT lat/lon values; knn
+        # cannot detect stale fst after a lat/lon rewrite and would
+        # key the index on the old coordinates.
         from ..functions.cellsql import with_s2_fst
         pts = with_s2_fst(pts, "p_lat", "p_lon")
     # the projected point store is narrow; more partitions than task

@@ -152,7 +152,7 @@ def test_cell_id_col_matches_numpy_codec(spark):
 
 def test_s2_cell_id_col_matches_numpy_codec(spark):
     """The JVM quad-sphere expression twin (cellsql.s2_cell_id_col /
-    s2_cells_array_col) must produce the IDENTICAL int64 id as
+    with_s2_cells / with_s2_cell) must produce the IDENTICAL int64 id as
     cellindex.s2_cell_id — including poles, antimeridian, face
     corners (lat +-35.264..., lon multiples of 45) and near-boundary
     points.  numpy and the JVM implement sin/cos independently (each
@@ -163,6 +163,7 @@ def test_s2_cell_id_col_matches_numpy_codec(spark):
     from pyspark.sql import functions as F
 
     from pbf2json_spark.functions.cellsql import (s2_cell_id_col,
+                                                  with_s2_cell,
                                                   with_s2_cells)
 
     rng = np.random.Generator(np.random.Philox(key=np.uint64(9)))
@@ -198,6 +199,14 @@ def test_s2_cell_id_col_matches_numpy_codec(spark):
         want = cx.s2_cell_id(lat, lon, L)
         assert (got[f"c{L}"].to_numpy(np.int64) == want).all(), L
         assert (arr[:, k] == want).all(), L
+    # the mask-shift-cascade path (with_s2_cell — the form the PIP/kNN
+    # gates attach keys with) pinned DIRECTLY too: it shares no morton
+    # code with the byte-table forms above, so a cascade regression
+    # cannot cancel out against itself here
+    for L in (0, 9, 26):
+        got1 = with_s2_cell(df, "lat", "lon", L, "c") \
+            .select("c").toPandas()["c"].to_numpy(np.int64)
+        assert (got1 == cx.s2_cell_id(lat, lon, L)).all(), L
 
 
 # ---------------------------------------------------------------------------
