@@ -284,12 +284,20 @@ def q_pip_rect_s2(spark, sf_dir):
     result identical to the equirect family — so it shares
     q_pip_rect's DuckDB oracle verbatim.  The point-side key build is
     the pure-JVM s2 codec twin (cellsql.with_s2_cell), so the gate
-    pins that expression end-to-end against the oracle."""
+    pins that expression end-to-end against the oracle.
+
+    Level 8, not 9: quad-sphere cells at a given number are finer
+    than equirect cells at the same number (6x512x512 faces vs a
+    512x1024 global grid at 9), so level 8 is the like-for-like
+    prefilter granularity — same covering size as equirect res 9
+    (~10-12k cells per gate rect vs ~40-48k at level 9; measured
+    1.46 -> 0.86 s at sf0.1).  PIP is exact at ANY level (the
+    ray-cast refine decides)."""
     from pbf2json_spark.functions.cellsql import with_s2_cell
     from pbf2json_spark.operators.spatial import point_in_polygon
     _ship(spark)
     pts = with_s2_cell(_customer_points(spark, sf_dir),
-                       "lat", "lon", 9, "s2_l9")
+                       "lat", "lon", 8, "s2_l8")
     rows = []
     for pid, (la0, la1, lo0, lo1) in RECTS.items():
         rows.append((pid, [la0, la1, la1, la0, la0],
@@ -297,7 +305,7 @@ def q_pip_rect_s2(spark, sf_dir):
     polys = spark.createDataFrame(
         rows, schema="poly_id string, ring_lats array<double>, "
                      "ring_lons array<double>, tags map<string,string>")
-    res = point_in_polygon(pts, polys, res=9, point_id="point_id",
+    res = point_in_polygon(pts, polys, res=8, point_id="point_id",
                            family="s2")
     return res.select("poly_id", "point_id",
                       F.round("lat", 9).alias("lat_r"),
