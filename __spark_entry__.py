@@ -35,6 +35,15 @@ RECTS = {  # rectangle polygons for the PIP check (lat_lo, lat_hi, lon_lo, lon_h
     "rect_b": (-30.0, -5.0, -120.0, -60.0),
 }
 
+# antimeridian-wrapped rects (lon_lo > lon_hi: the band crosses +-180;
+# the ring's edges take the short way in longitude).  The engine side
+# splits these into canonical plane pieces (geokernels.split_antimeridian
+# inside point_in_polygon); the oracle is the disjunctive lon predicate.
+WRAP_RECTS = {
+    "wrap_a": (-30.0, 10.0, 160.0, -160.0),   # Fiji-style +-180 band
+    "wrap_b": (35.0, 70.0, 150.0, -140.0),    # Chukotka/Bering band
+}
+
 KNN_QUERIES = [  # fixed query points for q_knn_geo
     ("q0", 10.0, 20.0), ("q1", -20.0, -100.0), ("q2", 45.0, 120.0),
     ("q3", 0.0, 0.0), ("q4", 60.0, -170.0),
@@ -307,6 +316,55 @@ def q_pip_rect_s2(spark, sf_dir):
                      "ring_lons array<double>, tags map<string,string>")
     res = point_in_polygon(pts, polys, res=8, point_id="point_id",
                            family="s2")
+    return res.select("poly_id", "point_id",
+                      F.round("lat", 9).alias("lat_r"),
+                      F.round("lon", 9).alias("lon_r"))
+
+
+def _wrap_polys(spark):
+    """The WRAP_RECTS as ring polygons whose lons flip sign across
+    +-180 — each ring is NON-canonical by construction (consecutive-lon
+    jumps of 320/290 deg, short-way interpretation), so these gates
+    fail loudly if the split path regresses (the low-level coverings
+    raise on wrapped rings since r5)."""
+    rows = []
+    for pid, (la0, la1, lo0, lo1) in WRAP_RECTS.items():
+        rows.append((pid, [la0, la1, la1, la0, la0],
+                     [lo0, lo0, lo1, lo1, lo0], {}))
+    return spark.createDataFrame(
+        rows, schema="poly_id string, ring_lats array<double>, "
+                     "ring_lons array<double>, tags map<string,string>")
+
+
+def q_pip_wrap(spark, sf_dir):
+    """PIP over antimeridian-WRAPPED rectangles (VERDICT r4 'missing'
+    #1): the ring wraps +-180, point_in_polygon splits it into two
+    canonical pieces, unions the coverings, and ORs the ray-casts.
+    The DuckDB oracle is the equivalent disjunctive predicate
+    (lon > lo OR lon < hi), so the gate hash-checks the whole
+    split-and-union path at driver level."""
+    from pbf2json_spark.operators.spatial import point_in_polygon
+    _ship(spark)
+    pts = _customer_points(spark, sf_dir)
+    pts = pts.withColumn("cell_r9", _cell_udf(9)("lat", "lon"))
+    res = point_in_polygon(pts, _wrap_polys(spark), res=9,
+                           point_id="point_id")
+    return res.select("poly_id", "point_id",
+                      F.round("lat", 9).alias("lat_r"),
+                      F.round("lon", 9).alias("lon_r"))
+
+
+def q_pip_wrap_s2(spark, sf_dir):
+    """q_pip_wrap on the quad-sphere family (level 8, like-for-like
+    prefilter granularity — see q_pip_rect_s2): same split-and-union
+    path, s2 coverings per piece, shared oracle."""
+    from pbf2json_spark.functions.cellsql import with_s2_cell
+    from pbf2json_spark.operators.spatial import point_in_polygon
+    _ship(spark)
+    pts = with_s2_cell(_customer_points(spark, sf_dir),
+                       "lat", "lon", 8, "s2_l8")
+    res = point_in_polygon(pts, _wrap_polys(spark), res=8,
+                           point_id="point_id", family="s2")
     return res.select("poly_id", "point_id",
                       F.round("lat", 9).alias("lat_r"),
                       F.round("lon", 9).alias("lon_r"))
@@ -589,6 +647,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embedding_near_dup": q_embedding_near_dup,
         "q_pip_rect": q_pip_rect,
         "q_pip_rect_s2": q_pip_rect_s2,
+        "q_pip_wrap": q_pip_wrap,
+        "q_pip_wrap_s2": q_pip_wrap_s2,
         "q_knn_geo": q_knn_geo,
         "q_knn_geo_s2": q_knn_geo_s2,
         "q_tile_assignment": q_tile_assignment,
@@ -922,6 +982,22 @@ FROM pts WHERE lat > {la0} AND lat < {la1} AND lon > {lo0} AND lon < {lo1}""")
             + " UNION ALL ".join(parts))
 
 
+def _pip_wrap_oracle_sql() -> str:
+    """WRAP_RECTS as the equivalent disjunctive lon predicate: the band
+    (lo0, +180] U [-180, lo1) with exclusive outer bounds — exactly the
+    point set of the wrapped ring's two canonical pieces."""
+    parts = []
+    for pid, (la0, la1, lo0, lo1) in WRAP_RECTS.items():
+        parts.append(f"""
+SELECT '{pid}' AS poly_id, point_id, round(lat, 9) AS lat_r,
+       round(lon, 9) AS lon_r
+FROM pts WHERE lat > {la0} AND lat < {la1}
+  AND (lon > {lo0} OR lon < {lo1})""")
+    return (f"WITH pts AS (SELECT c_custkey::VARCHAR AS point_id, "
+            f"{_LAT_SQL} AS lat, {_LON_SQL} AS lon FROM customer)"
+            + " UNION ALL ".join(parts))
+
+
 def oracle_sql() -> dict[str, str]:
     toks_trim = "regexp_split_to_array(trim(text), '\\s+')"
     token_re = r"[a-z0-9]+|[^a-z0-9\s]"
@@ -1011,6 +1087,8 @@ WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
         "q_osm_pipeline": _osm_oracle_sql(),
         "q_pip_rect": _pip_oracle_sql(),
         "q_pip_rect_s2": _pip_oracle_sql(),
+        "q_pip_wrap": _pip_wrap_oracle_sql(),
+        "q_pip_wrap_s2": _pip_wrap_oracle_sql(),
         "q_knn_geo": _knn_oracle_sql(),
         "q_knn_geo_s2": _knn_oracle_sql(),
         "q_tile_assignment": _tile_oracle_sql(),

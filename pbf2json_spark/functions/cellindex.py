@@ -168,7 +168,15 @@ def cover_bbox(lat_min, lat_max, lon_min, lon_max, res: int):
     i_lo = int(np.clip(np.floor((lat_min + 90.0) / 180.0 * nlat), 0, nlat - 1))
     i_hi = int(np.clip(np.floor((lat_max + 90.0) / 180.0 * nlat), 0, nlat - 1))
     j_lo = int(np.clip(np.floor(np.mod((lon_min + 180.0) / 360.0, 1.0) * nlon), 0, nlon - 1))
-    j_hi = int(np.clip(np.floor(np.mod((lon_max + 180.0) / 360.0, 1.0) * nlon), 0, nlon - 1))
+    fhi = np.mod((lon_max + 180.0) / 360.0, 1.0)
+    # lon_max == +180 exactly is the grid's top EDGE: mod folds it to
+    # column 0, which empties the range (an r5 antimeridian-piece bug);
+    # it belongs to the last column unless this is the wrap form
+    # (lon_min > lon_max, where -180 == +180 is the wrap target)
+    if fhi == 0.0 and lon_max > lon_min:
+        j_hi = nlon - 1
+    else:
+        j_hi = int(np.clip(np.floor(fhi * nlon), 0, nlon - 1))
     ii = np.arange(i_lo, i_hi + 1, dtype=np.int64)
     if lon_min <= lon_max:
         jj = np.arange(j_lo, j_hi + 1, dtype=np.int64)
@@ -210,9 +218,17 @@ def cover_polygon(ring_lats, ring_lons, res: int):
     inside the polygon lies in one of the returned cells (its cell either
     intersects an edge or has its whole box inside -> center inside).
     """
-    from .geokernels import raycast_contains
+    from .geokernels import raycast_contains, ring_is_canonical
     rla = np.asarray(ring_lats, dtype=np.float64)
     rlo = np.asarray(ring_lons, dtype=np.float64)
+    if not ring_is_canonical(rla, rlo):
+        raise ValueError(
+            "cover_polygon: ring is not in canonical coordinates (lons "
+            "in [-180, 180], no edge spanning > 180 deg of longitude) — "
+            "an antimeridian-wrapped ring interpreted as a plane polygon "
+            "returns silently wrong cells; split it first with "
+            "geokernels.split_antimeridian (point_in_polygon does this "
+            "automatically)")
     cand = cover_bbox(rla.min(), rla.max(), rlo.min(), rlo.max(), res)
     lat_lo, lat_hi, lon_lo, lon_hi = cell_bounds(cand)
     # edge crossing test (x=lon, y=lat)
@@ -836,15 +852,28 @@ def s2_cover_polygon(ring_lats, ring_lons, level: int,
     (property-tested): a point inside the polygon lies in some cell;
     either the ring crosses that cell (then it crosses the cell's
     bbox -> kept) or the cell is wholly inside (center inside ->
-    kept).  PRECONDITION: rings in canonical coordinates (lons in
-    [-180, 180], no antimeridian wrap) — the ring is interpreted as a
-    lat/lon-PLANE polygon, the same convention the equirect
-    cover_polygon and the ray-cast refine use.  method='bbox' returns
+    kept).  PRECONDITION (enforced since r5 — non-canonical rings
+    raise ValueError instead of returning silently wrong cells):
+    canonical coordinates (lons in [-180, 180], no antimeridian
+    wrap) — the ring is interpreted as a lat/lon-PLANE polygon, the
+    same convention the equirect cover_polygon and the ray-cast
+    refine use; wrapped rings go through
+    geokernels.split_antimeridian first.  method='bbox' returns
     the r3 ring-bbox covering (strictly more candidates on anything
     non-rectangular; tolerant of non-canonical lons since it only
     reads ring min/max)."""
     rla = np.asarray(ring_lats, dtype=np.float64)
     rlo = np.asarray(ring_lons, dtype=np.float64)
+    if method == "edge":
+        from .geokernels import ring_is_canonical
+        if not ring_is_canonical(rla, rlo):
+            raise ValueError(
+                "s2_cover_polygon: ring is not in canonical coordinates "
+                "(lons in [-180, 180], no edge spanning > 180 deg of "
+                "longitude) — an antimeridian-wrapped ring interpreted as "
+                "a plane polygon returns silently wrong cells; split it "
+                "first with geokernels.split_antimeridian "
+                "(point_in_polygon does this automatically)")
     cand = s2_cover_bbox(rla.min(), rla.max(), rlo.min(), rlo.max(),
                          level)
     if method == "bbox" or len(cand) == 0:

@@ -57,6 +57,8 @@ __all__ = [
     "haversine_m",
     "equirect_m",
     "raycast_contains",
+    "ring_is_canonical",
+    "split_antimeridian",
     "entrance_class",
     "wheelchair_class",
     "centroid_and_bounds",
@@ -264,6 +266,121 @@ def raycast_contains(ring_lats, ring_lons, pt_lats, pt_lons):
         xint = x1 + (py - y1) * (x2 - x1) / np.where(y2 == y1, np.inf, y2 - y1)
     crossings = np.sum(cond & (px < xint), axis=1)
     return (crossings % 2).astype(bool)
+
+
+# ---------------------------------------------------------------------------
+# antimeridian-wrapped rings (r5): canonicalization + split
+#
+# The whole lat/lon-plane geometry stack (raycast_contains, the
+# cover_polygon/s2_cover_polygon coverings) interprets a ring as a
+# PLANE polygon in canonical coordinates: lons in [-180, 180] and no
+# edge jumping more than 180 deg in longitude.  The reference never
+# faces wrapped rings (pbf2json computes centroids of Vancouver-local
+# geometry, not containment), but a spatial-join engine's polygon API
+# will be handed a Fiji/Chukotka polygon whose lons flip sign across
+# +-180 — and silently treating that as a plane polygon returns wrong
+# rows.  These helpers make the failure loud (ring_is_canonical guards
+# the coverings) and the fix mechanical (split_antimeridian returns
+# canonical pieces whose PIP union equals the wrapped ring's intended
+# containment under the "edges take the short way in longitude"
+# convention).
+# ---------------------------------------------------------------------------
+
+def ring_is_canonical(ring_lats, ring_lons) -> bool:
+    """True iff the ring is a canonical lat/lon-plane polygon: all lons
+    in [-180, 180] and no edge (including the implied closing edge)
+    spans more than 180 deg of longitude.  A False here means the ring
+    wraps the antimeridian (or uses out-of-range lons) and must go
+    through split_antimeridian before any covering / ray-cast."""
+    rlo = np.asarray(ring_lons, dtype=np.float64)
+    if rlo.size == 0:
+        return True
+    if np.abs(rlo).max() > 180.0:
+        return False
+    d = np.abs(np.diff(np.concatenate([rlo, rlo[:1]])))
+    return bool(d.max() <= 180.0)
+
+
+def _clip_lon_halfplane(lats, lons, c: float, keep_le: bool):
+    """Sutherland-Hodgman clip of a closed ring against the half-plane
+    lon <= c (keep_le) or lon >= c.  Plain loop: rings are dim-side
+    geometry bounded by the PIP vertex guard, never row-scale data."""
+    out_la, out_lo = [], []
+    n = len(lats)
+    for i in range(n):
+        a_la, a_lo = lats[i], lons[i]
+        b_la, b_lo = lats[(i + 1) % n], lons[(i + 1) % n]
+        a_in = (a_lo <= c) if keep_le else (a_lo >= c)
+        b_in = (b_lo <= c) if keep_le else (b_lo >= c)
+        if a_in:
+            out_la.append(a_la)
+            out_lo.append(a_lo)
+        if a_in != b_in:
+            t = (c - a_lo) / (b_lo - a_lo)
+            out_la.append(a_la + t * (b_la - a_la))
+            out_lo.append(c)
+    return (np.asarray(out_la, dtype=np.float64),
+            np.asarray(out_lo, dtype=np.float64))
+
+
+def split_antimeridian(ring_lats, ring_lons):
+    """Split a (possibly antimeridian-wrapped) ring into canonical
+    lat/lon-plane pieces; returns a list of (lats, lons) open rings.
+
+    Interpretation contract: each edge takes the SHORT way in
+    longitude (spans < 180 deg) — the standard convention for wrapped
+    geometry (a Fiji ring listing lons 178, -178 means a 4-deg edge
+    across +-180, not a 356-deg edge around the globe).  Canonical
+    input comes back unchanged as a single piece.  Pole-encircling
+    rings (longitude winding != 0, e.g. an Antarctic cap outline) have
+    no plane-polygon equivalent and raise ValueError.
+
+    Algorithm: unwrap lons to a continuous range (consecutive deltas
+    forced into (-180, 180]), clip the unwrapped ring against each
+    360-deg window between cut meridians 180 + 360k, then shift each
+    piece back into [-180, 180].  Degenerate slivers (< 3 vertices)
+    are dropped.  Points exactly ON +-180 sit on the cut edge of both
+    pieces — the usual on-edge indeterminacy of even-odd ray casting,
+    unchanged by the split."""
+    rla = np.asarray(ring_lats, dtype=np.float64)
+    rlo = np.asarray(ring_lons, dtype=np.float64)
+    if rla.size > 1 and rla[0] == rla[-1] and rlo[0] == rlo[-1]:
+        rla, rlo = rla[:-1], rlo[:-1]
+    if rla.size < 3:
+        raise ValueError("split_antimeridian: ring needs >= 3 vertices")
+    # unwrap: make every consecutive delta (incl. closing) short-way
+    closed = np.concatenate([rlo, rlo[:1]])
+    d = np.diff(closed)
+    d = d - 360.0 * np.round(d / 360.0)
+    ulons = closed[0] + np.concatenate([[0.0], np.cumsum(d)])
+    if abs(ulons[-1] - ulons[0]) > 1e-9:
+        raise ValueError(
+            "split_antimeridian: ring winds around a pole (longitude "
+            "winding != 0); pole caps have no lat/lon-plane polygon "
+            "equivalent — represent them as a lat-threshold predicate")
+    ulons = ulons[:-1]
+    lo, hi = float(ulons.min()), float(ulons.max())
+    # cut meridians 180 + 360k strictly inside the unwrapped range
+    k_lo = int(np.ceil((lo - 180.0) / 360.0 + 1e-12))
+    k_hi = int(np.floor((hi - 180.0) / 360.0 - 1e-12))
+    cuts = [180.0 + 360.0 * k for k in range(k_lo, k_hi + 1)
+            if lo < 180.0 + 360.0 * k < hi]
+    if not cuts:
+        shift = 360.0 * np.round((lo + hi) / 2.0 / 360.0)
+        return [(rla.copy(), ulons - shift)]
+    windows = [(lo - 1.0, cuts[0])]
+    windows += [(cuts[i], cuts[i + 1]) for i in range(len(cuts) - 1)]
+    windows.append((cuts[-1], hi + 1.0))
+    pieces = []
+    for w_lo, w_hi in windows:
+        pla, plo = _clip_lon_halfplane(rla, ulons, w_hi, keep_le=True)
+        if len(pla) >= 3:
+            pla, plo = _clip_lon_halfplane(pla, plo, w_lo, keep_le=False)
+        if len(pla) < 3:
+            continue
+        shift = 360.0 * np.round((max(w_lo, lo) + min(w_hi, hi)) / 2.0 / 360.0)
+        pieces.append((pla, plo - shift))
+    return pieces
 
 
 # ---------------------------------------------------------------------------

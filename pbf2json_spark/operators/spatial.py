@@ -106,6 +106,14 @@ def point_in_polygon(points: DataFrame, polygons: DataFrame,
     points must carry (point_id, lat, lon, cell_r{res}); polygons is the
     small dim table (poly_id, ring_lats, ring_lons, ...).
 
+    Rings may wrap the antimeridian (r5): a ring whose lons flip sign
+    across +-180 (each edge taking the short way in longitude) is split
+    into canonical plane pieces (geokernels.split_antimeridian); the
+    covering is the union over pieces and containment is the OR of the
+    per-piece ray-casts, so a Fiji/Chukotka polygon returns the same
+    rows as the equivalent two-rect union.  Pole-encircling rings
+    raise (no plane-polygon equivalent).
+
     family='s2' runs the same plan over the quad-sphere index instead
     (points carry s2_l{res}; covering via cellindex.s2_cover_polygon).
     Near-uniform cell ground area means a polar-latitude polygon costs
@@ -147,14 +155,30 @@ def point_in_polygon(points: DataFrame, polygons: DataFrame,
         else cx.s2_cover_polygon
     cell_col = f"cell_r{res}" if family == "equirect" else f"s2_l{res}"
 
-    # covering cells per polygon, vectorized numpy, broadcast to executors
+    # covering cells per polygon, vectorized numpy, broadcast to executors.
+    # Antimeridian-wrapped rings (lons flipping sign across +-180, e.g. a
+    # Fiji polygon) are split into canonical plane pieces here — coverings
+    # union over the pieces, the refine ORs the per-piece ray-casts — so
+    # the operator's contract is "any simple ring, edges short-way in
+    # longitude" while the low-level coverings keep their loud
+    # canonical-only precondition (geokernels.split_antimeridian).
     cover_rows = []
     rings = {}
     for p in polys.itertuples():
         rla = np.asarray(p.ring_lats, dtype=np.float64)
         rlo = np.asarray(p.ring_lons, dtype=np.float64)
-        rings[p.poly_id] = (rla, rlo)
-        for c in cover_fn(rla, rlo, res).tolist():
+        if gk.ring_is_canonical(rla, rlo):
+            pieces = [(rla, rlo)]
+        else:
+            pieces = gk.split_antimeridian(rla, rlo)
+        rings[p.poly_id] = pieces
+        # set-dedup: cells straddling the +-180 cut are covered by both
+        # pieces; a duplicate (cell, poly_id) row would double-emit
+        # candidates and duplicate refine output rows
+        cells = set()
+        for pla, plo in pieces:
+            cells.update(cover_fn(pla, plo, res).tolist())
+        for c in cells:
             cover_rows.append((c, p.poly_id))
     spark = points.sparkSession
     cover = spark.createDataFrame(
@@ -186,8 +210,10 @@ def point_in_polygon(points: DataFrame, polygons: DataFrame,
             codes, uniq = pd.factorize(pdf["poly_id"])
             for gi, pid in enumerate(uniq):
                 idx = np.nonzero(codes == gi)[0]
-                rla, rlo = ring_map[pid]
-                keep[idx] = gk.raycast_contains(rla, rlo, lats[idx], lons[idx])
+                hit = np.zeros(len(idx), dtype=bool)
+                for rla, rlo in ring_map[pid]:
+                    hit |= gk.raycast_contains(rla, rlo, lats[idx], lons[idx])
+                keep[idx] = hit
             out = pdf.loc[keep, ["poly_id", point_id, "lat", "lon"]]
             yield out
 

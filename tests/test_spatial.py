@@ -376,3 +376,122 @@ def test_tile_assignment_s2_family(spark):
     assert (eq["cell"].to_numpy()
             == cx.cell_id(twin["bla"].to_numpy(),
                           twin["blo"].to_numpy(), 12)).all()
+
+
+# ---------------------------------------------------------------------------
+# antimeridian-wrapped rings (r5)
+# ---------------------------------------------------------------------------
+
+def _wrapped_pentagon():
+    """A non-rectangular ring crossing +-180 twice (short-way edges)."""
+    lats = np.array([-25.0, 15.0, 30.0, 5.0, -20.0])
+    lons = np.array([165.0, 155.0, -175.0, -150.0, -170.0])
+    return lats, lons
+
+
+def test_split_antimeridian_matches_unwrapped_plane_oracle():
+    """PIP union over split pieces == raycast in UNWRAPPED plane space
+    (the point lifted by 360k into the ring's lon range) — the defining
+    semantics of 'edges short-way in longitude'."""
+    rla, rlo = _wrapped_pentagon()
+    pieces = gk.split_antimeridian(rla, rlo)
+    assert len(pieces) == 2
+    for _, plo in pieces:
+        assert gk.ring_is_canonical(_, plo)
+
+    # unwrapped twin of the ring
+    closed = np.concatenate([rlo, rlo[:1]])
+    d = np.diff(closed)
+    d = d - 360.0 * np.round(d / 360.0)
+    ulons = closed[0] + np.concatenate([[0.0], np.cumsum(d)])[:-1]
+
+    rng = np.random.default_rng(5)
+    plat = rng.uniform(-40, 45, 30000)
+    plon = rng.uniform(-180, 180, 30000)
+    truth = np.zeros(len(plat), dtype=bool)
+    for k in (-360.0, 0.0, 360.0):
+        truth |= gk.raycast_contains(rla, ulons, plat, plon + k)
+    got = np.zeros(len(plat), dtype=bool)
+    for pla, plo in pieces:
+        got |= gk.raycast_contains(pla, plo, plat, plon)
+    assert (got == truth).all()
+    assert truth.sum() > 500  # the fixture actually covers points
+
+
+def test_split_antimeridian_covering_superset_both_families():
+    rla, rlo = _wrapped_pentagon()
+    pieces = gk.split_antimeridian(rla, rlo)
+    rng = np.random.default_rng(6)
+    plat = rng.uniform(-40, 45, 20000)
+    plon = rng.uniform(-180, 180, 20000)
+    for pla, plo in pieces:
+        inside = gk.raycast_contains(pla, plo, plat, plon)
+        eq_cells = set(cx.cover_polygon(pla, plo, 7).tolist())
+        assert set(cx.cell_id(plat[inside], plon[inside], 7).tolist()) <= eq_cells
+        s2_cells = set(cx.s2_cover_polygon(pla, plo, 7).tolist())
+        assert set(cx.s2_cell_id(plat[inside], plon[inside], 7).tolist()) <= s2_cells
+
+
+def test_split_antimeridian_canonical_passthrough_and_pole_raise():
+    pieces = gk.split_antimeridian([0.0, 10.0, 10.0], [0.0, 0.0, 20.0])
+    assert len(pieces) == 1
+    assert pieces[0][1].tolist() == [0.0, 0.0, 20.0]
+    # 0..360-convention ring normalizes to canonical without a split
+    pieces = gk.split_antimeridian([0.0, 5.0, 5.0, 0.0],
+                                   [350.0, 350.0, 355.0, 355.0])
+    assert len(pieces) == 1
+    assert pieces[0][1].tolist() == [-10.0, -10.0, -5.0, -5.0]
+    # pole-encircling ring: longitude winding != 0 has no plane polygon
+    with pytest.raises(ValueError, match="pole"):
+        gk.split_antimeridian([-70.0, -70.0, -70.0, -70.0],
+                              [0.0, 90.0, 180.0, -90.0])
+
+
+def test_cover_polygon_raises_on_wrapped_ring_both_families():
+    rla, rlo = _wrapped_pentagon()
+    with pytest.raises(ValueError, match="canonical"):
+        cx.cover_polygon(rla, rlo, 7)
+    with pytest.raises(ValueError, match="canonical"):
+        cx.s2_cover_polygon(rla, rlo, 7)
+    # bbox method stays tolerant by documented contract
+    assert len(cx.s2_cover_polygon(rla, rlo, 5, method="bbox")) > 0
+
+
+def test_cover_bbox_lon180_top_edge():
+    """lon_max == +180 exactly is the grid top edge, not column 0 (the
+    mod fold emptied the range before r5)."""
+    got = cx.cover_bbox(-30, 10, 160, 180, 7)
+    ref = cx.cover_bbox(-30, 10, 160, 179.999999, 7)
+    assert len(got) == len(ref) > 0
+    assert set(got.tolist()) == set(ref.tolist())
+    # wrap form (lon_min > lon_max) unchanged
+    assert len(cx.cover_bbox(-30, 10, 170, -170, 7)) > 0
+
+
+def test_point_in_polygon_wrapped_ring_spark(spark, points, points_pdf):
+    """End-to-end: a wrapped pentagon through point_in_polygon on BOTH
+    cell families equals the numpy split-union oracle."""
+    rla, rlo = _wrapped_pentagon()
+    polys = spark.createDataFrame(
+        [("wrapped", rla.tolist(), rlo.tolist(), {})],
+        schema="poly_id string, ring_lats array<double>, "
+               "ring_lons array<double>, tags map<string,string>")
+    want = np.zeros(len(points_pdf), dtype=bool)
+    for pla, plo in gk.split_antimeridian(rla, rlo):
+        want |= gk.raycast_contains(pla, plo,
+                                    points_pdf["lat"].to_numpy(),
+                                    points_pdf["lon"].to_numpy())
+    want_ids = set(points_pdf.loc[want, "image_id"])
+    assert len(want_ids) >= 5  # fixture non-vacuity
+
+    got = sp.point_in_polygon(points, polys, res=sp.DEFAULT_RES).toPandas()
+    assert set(got["image_id"]) == want_ids
+    assert len(got) == len(got["image_id"].unique())  # no double-emits
+
+    from pbf2json_spark.functions.cellsql import with_s2_cell
+    pts_s2 = with_s2_cell(points.select("image_id", "lat", "lon"),
+                          "lat", "lon", 8, "s2_l8")
+    got_s2 = sp.point_in_polygon(pts_s2, polys, res=8, point_id="image_id",
+                                 family="s2").toPandas()
+    assert set(got_s2["image_id"]) == want_ids
+    assert len(got_s2) == len(got_s2["image_id"].unique())
