@@ -442,11 +442,26 @@ def _tile_oracle_fixture() -> str:
     regenerated by scripts/make_tile_oracle_fixture.py) is used — the
     fixture is scale-specific by construction, so a fixed path made
     the sf0.1 sweep fail vacuously."""
+    return _scale_fixture("tile_blocks", "make_tile_oracle_fixture.py")
+
+
+def _scale_fixture(prefix: str, make_script: str) -> str:
+    """Resolve a scale-keyed oracle fixture; only the 1000- and
+    10000-row fixtures are committed, so a sweep at another SF gets a
+    clear regenerate-me error instead of an opaque DuckDB
+    read_parquet file-not-found (ADVICE r4)."""
     sf_dir = _os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "")
     n = max(200, _scale_rows(sf_dir)) if sf_dir else 1000
-    return _os.path.join(
+    path = _os.path.join(
         _os.path.dirname(_os.path.abspath(__file__)),
-        "tests", "fixtures", f"tile_blocks_{n}.parquet")
+        "tests", "fixtures", f"{prefix}_{n}.parquet")
+    if not _os.path.exists(path):
+        raise FileNotFoundError(
+            f"oracle fixture {path} is not committed (only the 1000/"
+            f"10000-row gate scales are); regenerate it with "
+            f"`python3 scripts/{make_script} {n}` before sweeping at "
+            f"this scale")
+    return path
 
 
 def q_tile_assignment(spark, sf_dir):
@@ -467,6 +482,83 @@ SELECT cell, count(*) AS n_blocks, count(DISTINCT image_id) AS n_images,
        round(avg(mean_intensity), 6) AS avg_intensity_r
 FROM read_parquet('{_tile_oracle_fixture()}')
 GROUP BY cell
+"""
+
+
+# --- pHash near-dup driver gate (r5, VERDICT r4 'missing' #3) --------------
+# The pixel decode is not SQL-expressible, so (like the tile gate) the
+# DuckDB side reads an INDEPENDENTLY computed twin fixture of per-image
+# phashes (synth.gen_phash_pdf: phash recomputed from DECODED bytes +
+# perturbed 'dup' copies of every 7th image) and runs the SAME banded
+# hamming join the Spark operator runs.  The Spark side recomputes the
+# hashes through the real decode path (multimodal.phash_images) over
+# images + executor-side perturbed copies, so decode -> phash -> banded
+# join is pinned end-to-end by the hash compare.
+
+def _perturbed_images(imgs, every: int = 7):
+    """Executor-side planted near-duplicates: decode -> perturb_pixels
+    -> re-encode (raw, lossless) under a 'dup' id prefix.  Mirrors
+    synth.gen_phash_pdf's planting exactly (shared numpy kernel)."""
+    import pandas as pd
+
+    from pbf2json_spark.functions import imagecodec as ic
+    from pbf2json_spark.sources import synth as sy
+    from pbf2json_spark.sources.synth import spark_schemas
+
+    sel = imgs.filter(
+        F.substring("image_id", 4, 12).cast("long") % every == 0)
+
+    def gen(batches):
+        cols = ["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                seq = int(r.image_id[3:])
+                px = ic.decode_image(bytes(r.bytes))
+                pp = sy.perturb_pixels(px, seq)
+                rows.append((f"dup{seq:012d}", ic.encode_image(pp, "raw"),
+                             r.w, r.h, "raw", r.caption, ic.phash64(pp)))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return sel.mapInPandas(gen, spark_schemas()["images"])
+
+
+PHASH_MAX_HAMMING = 6
+
+
+def q_phash_near_dup(spark, sf_dir):
+    from pbf2json_spark.operators.dedup import hash_near_pairs
+    from pbf2json_spark.operators.multimodal import phash_images
+    from pbf2json_spark.sources.synth import images_df
+    _ship(spark)
+    n = max(200, _scale_rows(sf_dir))
+    imgs = images_df(spark, n)
+    base = imgs.unionByName(_perturbed_images(imgs))
+    ph = phash_images(base)
+    return hash_near_pairs(ph, "phash", PHASH_MAX_HAMMING,
+                           id_col="image_id")
+
+
+def _phash_oracle_sql() -> str:
+    """The operator's banding mirrored in SQL: 4 chunks of 16 bits;
+    candidates share a chunk value; exact popcount verify.  Arithmetic
+    >> matches Spark's shiftright on negative hashes because the &
+    65535 mask keeps only the shifted-in low 16 bits either way."""
+    fixture = _scale_fixture("phash", "make_phash_oracle_fixture.py")
+    chunk_selects = " UNION ALL ".join(
+        f"SELECT image_id, phash, {c} AS chunk, "
+        f"(phash >> {16 * c}) & 65535 AS val FROM h"
+        for c in range(4))
+    return f"""
+WITH h AS (SELECT image_id, phash FROM read_parquet('{fixture}')),
+chunks AS ({chunk_selects}),
+cand AS (SELECT DISTINCT a.image_id AS id_a, b.image_id AS id_b,
+                a.phash AS pa, b.phash AS pb
+         FROM chunks a JOIN chunks b
+           ON a.chunk = b.chunk AND a.val = b.val
+          AND a.image_id < b.image_id)
+SELECT id_a, id_b, bit_count(xor(pa, pb))::INT AS hamming
+FROM cand WHERE bit_count(xor(pa, pb)) <= {PHASH_MAX_HAMMING}
 """
 
 
@@ -671,6 +763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_knn_geo": q_knn_geo,
         "q_knn_geo_s2": q_knn_geo_s2,
         "q_tile_assignment": q_tile_assignment,
+        "q_phash_near_dup": q_phash_near_dup,
         "q_osm_pipeline": q_osm_pipeline,
     }
 
@@ -1114,4 +1207,5 @@ WHERE round(list_cosine_similarity(a.emb, b.emb), 9) >= 0.8"""),
         "q_knn_geo": _knn_oracle_sql(),
         "q_knn_geo_s2": _knn_oracle_sql(),
         "q_tile_assignment": _tile_oracle_sql(),
+        "q_phash_near_dup": _phash_oracle_sql(),
     }

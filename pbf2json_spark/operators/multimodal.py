@@ -134,6 +134,30 @@ def sample_frames(videos: DataFrame, every_n: int = 2,
     ).mapInPandas(gen, FRAME_SCHEMA)
 
 
+def phash_images(images: DataFrame) -> DataFrame:
+    """(image_id, phash): recompute the 64-bit perceptual hash from the
+    DECODED bytes — the ingest-side derivation (the stored phash column
+    a source carries may predate a lossy re-encode; for qdct images the
+    two genuinely differ).  One Arrow-batched mapInPandas pass over
+    (image_id, bytes, fmt) only; column pruning keeps captions and
+    metadata out of the scan."""
+
+    def gen(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids, phs = [], []
+            for r in pdf.itertuples():
+                px = decode_pixels(bytes(r.bytes), r.fmt)
+                ids.append(r.image_id)
+                phs.append(ic.phash64(px))
+            yield pd.DataFrame({"image_id": ids,
+                                "phash": np.array(phs, dtype=np.int64)})
+
+    return images.select("image_id", "bytes", "fmt") \
+                 .mapInPandas(gen, "image_id string, phash long")
+
+
 def phash_near_dup(images, max_hamming: int = 6):
     """(id_a, id_b, hamming): perceptual near-duplicate image pairs by
     banded phash hamming join (dedup.hash_near_pairs over the table's

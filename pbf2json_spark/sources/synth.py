@@ -133,6 +133,43 @@ def images_df(spark, n: int, partitions: int | None = None, dims=None):
     return spark.range(0, n, numPartitions=parts).mapInPandas(gen, schema=schema)
 
 
+def perturb_pixels(px: np.ndarray, seq: int) -> np.ndarray:
+    """Deterministic near-duplicate perturbation for planted phash
+    pairs: a low-amplitude bright square (amp 3..6 by seq%4) over a
+    1/16-side patch.  Tuned so phash hamming lands in 0..8 (mostly
+    2-4) — inside AND straddling the 4x16-bit banding guarantee, which
+    is exactly the regime a phash near-dup gate should check.
+    numpy-only so the Spark-free oracle fixture shares it verbatim."""
+    amp = 3.0 + 1.0 * (seq % 4)
+    h, w = px.shape[:2]
+    out = px.astype(np.float64)
+    out[h // 4:h // 4 + max(1, h // 16),
+        w // 4:w // 4 + max(1, w // 16)] += amp
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+def gen_phash_pdf(n: int, every: int = 7, dims=None) -> pd.DataFrame:
+    """Spark-free twin for the q_phash_near_dup oracle: (image_id,
+    phash) where phash is recomputed from the DECODED bytes (for lossy
+    qdct images this differs from the stored pre-encode phash column —
+    the gate checks the decode path, not the generator's shortcut),
+    plus a perturbed copy of every `every`-th image under a 'dup'
+    id prefix.  Written to parquet this is the DuckDB oracle input
+    (pixel math is not SQL-expressible; the banded hamming join is)."""
+    ids, phs = [], []
+    for seq in range(n):
+        image_id, data, _w, _h, _fmt, _cap, _ph = gen_image_row(seq, dims)
+        px = ic.decode_image(data)
+        ids.append(image_id)
+        phs.append(ic.phash64(px))
+        if seq % every == 0:
+            pp = perturb_pixels(px, seq)
+            ids.append(f"dup{seq:012d}")
+            phs.append(ic.phash64(pp))
+    return pd.DataFrame({"image_id": ids,
+                         "phash": np.array(phs, dtype=np.int64)})
+
+
 def gen_tile_blocks_pdf(n: int, grid: int = 4, res: int = 12,
                         dims=None) -> pd.DataFrame:
     """Spark-free twin of operators/spatial.image_blocks over the first

@@ -72,3 +72,44 @@ def test_geotag_zipfian_hotspots():
                 (np.abs(lon - hlo) <= ic.HOTSPOT_JITTER_DEG + 1e-9)
     frac = near.mean()
     assert 0.75 < frac < 0.85
+
+
+def test_phash_oracle_fixture_pins_operator(spark):
+    """The committed q_phash_near_dup oracle fixture (tests/fixtures/
+    phash_1000.parquet) must match (a) a fresh run of the Spark-free
+    twin (synth.gen_phash_pdf) and (b) the Spark decode->phash path
+    (multimodal.phash_images over images + planted perturbed copies) —
+    fixture drift, twin drift, and operator drift all fail here."""
+    import os
+
+    import pandas as pd
+
+    from pbf2json_spark.operators.multimodal import phash_images
+    from pbf2json_spark.sources import synth
+
+    fix_path = os.path.join(os.path.dirname(__file__), "fixtures",
+                            "phash_1000.parquet")
+    fix = pd.read_parquet(fix_path).sort_values("image_id") \
+            .reset_index(drop=True)
+
+    twin = synth.gen_phash_pdf(1000).sort_values("image_id") \
+                .reset_index(drop=True)
+    assert fix["image_id"].tolist() == twin["image_id"].tolist()
+    assert fix["phash"].tolist() == twin["phash"].tolist(), "twin drifted"
+
+    import __spark_entry__ as e
+    imgs = synth.images_df(spark, 1000, partitions=8)
+    base = imgs.unionByName(e._perturbed_images(imgs))
+    got = phash_images(base).toPandas().sort_values("image_id") \
+                            .reset_index(drop=True)
+    assert got["image_id"].tolist() == fix["image_id"].tolist()
+    assert got["phash"].tolist() == fix["phash"].tolist(), \
+        "operator drifted"
+    # non-vacuity: the qdct decode path must actually change hashes vs
+    # the stored pre-encode phash column for some rows
+    stored = imgs.select("image_id", "phash").toPandas() \
+                 .sort_values("image_id").reset_index(drop=True)
+    base_rows = got[~got["image_id"].str.startswith("dup")] \
+        .reset_index(drop=True)
+    assert (base_rows["phash"].to_numpy()
+            != stored["phash"].to_numpy()).any()
