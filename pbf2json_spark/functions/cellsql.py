@@ -183,10 +183,35 @@ def s2_cell_id_col(lat: Column, lon: Column, level: int) -> Column:
     return _s2_ij_morton(face, s, t, level)
 
 
+_S2_SCRATCH = ("_s2x", "_s2y", "_s2z", "_s2u", "_s2v",
+               "_s2i", "_s2j", "_s2si", "_s2sj", "_s2si_n", "_s2sj_n")
+
+
+def _guard_s2_scratch(df, extra=()):
+    """The with_s2_* builders create intermediates under fixed _s2*
+    names via df.select("*", alias); an input frame already carrying
+    one would yield duplicate columns and an ambiguous-reference
+    failure deep downstream (ADVICE r4) — refuse up front instead."""
+    clash = [c for c in df.columns if c in _S2_SCRATCH or c in extra]
+    if clash:
+        raise ValueError(
+            f"with_s2_* reserved scratch column name(s) already present "
+            f"on the input frame: {clash} — rename them, or (for "
+            f"_s2f/_s2s/_s2t from a prior with_s2_cell(keep_fst=True)) "
+            f"call with_s2_cell again and it will REUSE them")
+
+
 def with_s2_fst(df, lat_col: str, lon_col: str,
                 f: str = "_s2f", s: str = "_s2s", t: str = "_s2t"):
     """df + materialized (face, s, t) columns, via a CHAIN OF CHEAP
     PROJECTIONS (xyz -> face/u/v -> st) instead of one expression.
+
+    STALENESS CALLER CONTRACT (applies to every keeper of these
+    columns, ADVICE r4): like any precomputed index column, (f, s, t)
+    are a pure function of the lat/lon values AT DERIVATION TIME.
+    Consumers that detect and reuse them (knn family='s2',
+    with_s2_cell) cannot tell if lat/lon were rewritten afterwards —
+    re-derive after any coordinate mutation.
 
     Two measured reasons this is not a single Column:
     - codegen subexpression elimination does NOT reach inside CASE
@@ -199,6 +224,7 @@ def with_s2_fst(df, lat_col: str, lon_col: str,
     Each hop below references the previous hop's non-cheap aliases
     more than once, which is exactly the condition under which
     Catalyst's CollapseProject keeps the projections separate."""
+    _guard_s2_scratch(df, extra=(f, s, t))
     la = F.col(lat_col) * F.lit(_DEG2RAD)
     lo = F.col(lon_col) * F.lit(_DEG2RAD)
     cl = F.cos(la)
@@ -310,11 +336,15 @@ def with_s2_cells(df, lat_col: str, lon_col: str, levels,
     materialization boundary between the fst derivation and the
     Generate: persist the fst columns (they are ingest-time columns
     in a real deployment), then explode off the cache."""
-    df = with_s2_fst(df, lat_col, lon_col)
+    reused_fst = {"_s2f", "_s2s", "_s2t"} <= set(df.columns)
+    if reused_fst:
+        _guard_s2_scratch(df)
+    else:
+        df = with_s2_fst(df, lat_col, lon_col)
     df = df.select("*", s2_cells_from_fst(
         F.col("_s2f"), F.col("_s2s"), F.col("_s2t"), levels)
         .alias(out_col))
-    return df.drop("_s2f", "_s2s", "_s2t")
+    return df if reused_fst else df.drop("_s2f", "_s2s", "_s2t")
 
 
 # mask-shift cascade constants for the chained-projection spread used
@@ -335,14 +365,22 @@ def with_s2_cell(df, lat_col: str, lon_col: str, level: int,
     columnar parquet scan.
 
     keep_fst=True leaves the (_s2f, _s2s, _s2t) columns on the frame —
-    the ingest-time pattern: downstream consumers (knn family='s2')
-    detect and REUSE them instead of re-deriving the trig chain,
-    saving one projection-chain compile + evaluation per query."""
+    the ingest-time pattern: downstream consumers (knn family='s2',
+    and this function itself on a later call) detect and REUSE them
+    instead of re-deriving the trig chain, saving one projection-chain
+    compile + evaluation per query.  STALENESS CALLER CONTRACT: the
+    reused (f, s, t) must have been derived from the CURRENT lat/lon
+    values — a coordinate rewrite after keep_fst silently keys every
+    downstream cell on the old coordinates (see with_s2_fst)."""
     if not 0 <= level <= S2_MAX_LEVEL:
         raise ValueError(f"level must be in [0, {S2_MAX_LEVEL}]")
     n = 1 << level
     steps = list(zip(_SPREAD_MASKS, _SPREAD_SHIFTS))
-    df = with_s2_fst(df, lat_col, lon_col)
+    reused_fst = {"_s2f", "_s2s", "_s2t"} <= set(df.columns)
+    if reused_fst:
+        _guard_s2_scratch(df)  # scratch names other than fst still clash
+    else:
+        df = with_s2_fst(df, lat_col, lon_col)
     df = df.select(
         "*",
         F.least(F.greatest(F.floor(F.col("_s2s") * F.lit(float(n))),
@@ -371,6 +409,8 @@ def with_s2_cell(df, lat_col: str, lon_col: str, level: int,
                        .bitwiseOR(F.shiftleft(F.col("_s2si"), 1))))
     df = df.select("*", cell.alias(out_col))
     drop = ["_s2i", "_s2j", "_s2si", "_s2sj"]
-    if not keep_fst:
+    # pre-attached fst columns belong to the caller (ingest-time
+    # pattern) — never drop what this call did not derive
+    if not keep_fst and not reused_fst:
         drop += ["_s2f", "_s2s", "_s2t"]
     return df.drop(*drop)
