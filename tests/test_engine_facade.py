@@ -28,3 +28,33 @@ def test_engine_spatial_surface(spark):
     nn = eng.knn(geo, q, k=3)
     assert nn.count() == 15
     assert eng.tile_assignment(imgs).count() > 0
+
+
+def test_engine_attach_s2_once_serves_many_consumers(spark):
+    """attach_s2 (r5): one fst derivation serves knn(family='s2'),
+    PIP over the cell column, and further with_s2_cell levels — and
+    the results equal the equirect family's."""
+    from pbf2json_spark.functions.cellsql import with_s2_cell
+
+    eng = Engine(spark)
+    imgs = synth.images_df(spark, 300, partitions=2)
+    geo = eng.attach_geo(imgs, res_list=(9, 12))
+    s2 = eng.attach_s2(geo, level=9, persist=False)
+    assert {"_s2f", "_s2s", "_s2t", "s2_l9"} <= set(s2.columns)
+
+    q = synth.knn_queries_df(spark, 5, k=3)
+    nn_eq = eng.knn(geo, q, k=3).toPandas()
+    nn_s2 = eng.knn(s2, q, k=3, family="s2").toPandas()
+    key = ["query_id", "rank"]
+    a = nn_eq.sort_values(key).reset_index(drop=True)
+    b = nn_s2.sort_values(key).reset_index(drop=True)
+    assert a["image_id"].tolist() == b["image_id"].tolist()
+
+    s2b = with_s2_cell(s2, "lat", "lon", 8, "s2_l8")  # reuses fst
+    polys = synth.polygons_df(spark, 6)
+    pip_eq = eng.point_in_polygon(geo, polys, res=9)
+    from pbf2json_spark.operators.spatial import point_in_polygon
+    pip_s2 = point_in_polygon(s2b, polys, res=8, family="s2")
+    ea = set(map(tuple, pip_eq.select("poly_id", "image_id").collect()))
+    sb = set(map(tuple, pip_s2.select("poly_id", "image_id").collect()))
+    assert ea == sb
