@@ -1,0 +1,130 @@
+#!/usr/bin/env python3
+"""Streaming-vs-batch equivalence gate (VERDICT r4 next-round #6).
+
+The natural oracle for the stateful streaming dedup (SURVEY.md §2.7,
+streaming/ingest.streaming_first_seen) is its own batch twin: replaying
+a fixed corpus through the stream in micro-batches must produce exactly
+the batch exact_dedup key set, with matching representatives and one
+emission per key (cross-batch duplicates suppressed by state).
+
+Setup: the documents table at $SPARK_GRAFT_SF_DIR, keyed by md5(text),
+PLUS planted cross-batch duplicates — every doc_id ending in 0 is
+re-emitted under a 'dup_'-prefixed id in a LATER micro-batch, so the
+suppression path is exercised (the raw table has no duplicate texts).
+Originals are streamed in files 0..K-1 (maxFilesPerTrigger=1), the
+planted copies in file K.
+
+Checks (all must hold):
+  - streaming key set == batch-exact_dedup key set;
+  - exactly one emitted row per key (no re-emission across batches);
+  - emitted representatives == batch min-id representatives (originals
+    sort below 'dup_' ids and each key occurs once pre-planting, so
+    first-seen == min is exact here, not a luck of scheduling);
+  - batch n_dups == 2 exactly for the planted keys, 1 otherwise.
+
+Prints one JSON line; exit code 0 iff all checks pass.
+"""
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+N_FILES = 4
+
+
+def main() -> int:
+    from pyspark.sql import functions as F
+
+    from pbf2json_spark.plans.session import build_session
+    from pbf2json_spark.streaming.ingest import streaming_first_seen
+
+    spark = build_session(app_name="streaming-equivalence", cores=8,
+                          shuffle_partitions=8,
+                          master=os.environ.get("SPARK_GRAFT_MASTER"))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .select(F.col("doc_id").cast("string").alias("doc_id"),
+                F.md5("text").alias("text_md5"))
+    planted = docs.filter(F.col("doc_id") % F.lit(10) == 0) \
+        .select(F.concat(F.lit("dup_"), "doc_id").alias("doc_id"),
+                "text_md5")
+
+    work = tempfile.mkdtemp(prefix="stream_eq_")
+    src = os.path.join(work, "src")
+    outp = os.path.join(work, "out")
+    ck = os.path.join(work, "ck")
+    os.makedirs(src)
+
+    # originals split across N_FILES-1 ordered files, planted dups last
+    pdf = docs.toPandas().sort_values("doc_id").reset_index(drop=True)
+    per = (len(pdf) + N_FILES - 2) // (N_FILES - 1)
+    for i in range(N_FILES - 1):
+        pdf.iloc[i * per:(i + 1) * per].to_json(
+            os.path.join(src, f"b{i}.json"), orient="records", lines=True)
+    planted.toPandas().to_json(
+        os.path.join(src, f"b{N_FILES - 1}.json"),
+        orient="records", lines=True)
+
+    stream = (spark.readStream
+              .schema("doc_id string, text_md5 string")
+              .option("maxFilesPerTrigger", 1)
+              .json(src))
+    dedup = streaming_first_seen(stream, "text_md5", "doc_id")
+
+    def sink(batch_df, epoch_id):
+        batch_df.write.mode("append").parquet(os.path.join(outp, "data"))
+
+    q = (dedup.writeStream.foreachBatch(sink)
+         .outputMode("update")
+         .option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(600)
+
+    got = spark.read.parquet(os.path.join(outp, "data")).toPandas()
+
+    base = docs.unionByName(planted)
+    batch = base.groupBy("text_md5").agg(
+        F.min("doc_id").alias("rep_doc_id"),
+        F.count("*").alias("n_dups")).toPandas()
+
+    stream_keys = set(got["text_md5"])
+    batch_keys = set(batch["text_md5"])
+    one_per_key = len(got) == got["text_md5"].nunique()
+    reps_s = dict(zip(got["text_md5"], got["rep_doc_id"]))
+    reps_b = dict(zip(batch["text_md5"], batch["rep_doc_id"]))
+    reps_match = reps_s == reps_b
+    planted_keys = set(
+        batch.loc[batch["n_dups"] > 1, "text_md5"])
+    n_planted = int(planted.count())
+    dups_ok = (batch["n_dups"].isin((1, 2)).all()
+               and len(planted_keys) == n_planted)
+
+    result = {
+        "sf_dir": SF_DIR,
+        "n_docs": len(pdf),
+        "n_planted_cross_batch_dups": n_planted,
+        "n_batches": N_FILES,
+        "streaming_emitted_rows": len(got),
+        "batch_distinct_keys": len(batch_keys),
+        "keys_match": stream_keys == batch_keys,
+        "one_emission_per_key": bool(one_per_key),
+        "reps_match": bool(reps_match),
+        "planted_dup_counts_ok": bool(dups_ok),
+    }
+    ok = all(result[k] for k in ("keys_match", "one_emission_per_key",
+                                 "reps_match", "planted_dup_counts_ok"))
+    result["equivalent"] = ok
+    print(json.dumps(result))
+    shutil.rmtree(work, ignore_errors=True)
+    spark.stop()
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
