@@ -389,6 +389,49 @@ def q_pip_wrap_s2(spark, sf_dir):
                       F.round("lon", 9).alias("lon_r"))
 
 
+def q_pip_bucketed(spark, sf_dir):
+    """PIP through the DISTRIBUTED path (point_in_polygon_bucketed:
+    executor-side coverings + shuffle cell join + ring-join refine, no
+    broadcast, no vertex ceiling) over RECTS and WRAP_RECTS together —
+    the 10^7-polygon shape, value-checked against the same disjunctive
+    oracle as the dim-side gates."""
+    from pbf2json_spark.operators.spatial import point_in_polygon_bucketed
+    _ship(spark)
+    pts = _customer_points(spark, sf_dir)
+    pts = pts.withColumn("cell_r9", _cell_udf(9)("lat", "lon"))
+    rows = []
+    for pid, (la0, la1, lo0, lo1) in RECTS.items():
+        rows.append((pid, [la0, la1, la1, la0, la0],
+                     [lo0, lo0, lo1, lo1, lo0], {}))
+    polys = spark.createDataFrame(
+        rows, schema="poly_id string, ring_lats array<double>, "
+                     "ring_lons array<double>, tags map<string,string>") \
+        .unionByName(_wrap_polys(spark))
+    res = point_in_polygon_bucketed(pts, polys, res=9,
+                                    point_id="point_id")
+    return res.select("poly_id", "point_id",
+                      F.round("lat", 9).alias("lat_r"),
+                      F.round("lon", 9).alias("lon_r"))
+
+
+def _pip_bucketed_oracle_sql() -> str:
+    parts = []
+    for pid, (la0, la1, lo0, lo1) in RECTS.items():
+        parts.append(f"""
+SELECT '{pid}' AS poly_id, point_id, round(lat, 9) AS lat_r,
+       round(lon, 9) AS lon_r
+FROM pts WHERE lat > {la0} AND lat < {la1} AND lon > {lo0} AND lon < {lo1}""")
+    for pid, (la0, la1, lo0, lo1) in WRAP_RECTS.items():
+        parts.append(f"""
+SELECT '{pid}' AS poly_id, point_id, round(lat, 9) AS lat_r,
+       round(lon, 9) AS lon_r
+FROM pts WHERE lat > {la0} AND lat < {la1}
+  AND (lon > {lo0} OR lon < {lo1})""")
+    return (f"WITH pts AS (SELECT c_custkey::VARCHAR AS point_id, "
+            f"{_LAT_SQL} AS lat, {_LON_SQL} AS lon FROM customer)"
+            + " UNION ALL ".join(parts))
+
+
 def q_knn_geo(spark, sf_dir):
     from pbf2json_spark.operators.spatial import knn
     _ship(spark)
@@ -760,6 +803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pip_rect_s2": q_pip_rect_s2,
         "q_pip_wrap": q_pip_wrap,
         "q_pip_wrap_s2": q_pip_wrap_s2,
+        "q_pip_bucketed": q_pip_bucketed,
         "q_knn_geo": q_knn_geo,
         "q_knn_geo_s2": q_knn_geo_s2,
         "q_tile_assignment": q_tile_assignment,
@@ -1204,6 +1248,7 @@ WHERE round(list_cosine_similarity(a.emb, b.emb), 9) >= 0.8"""),
         "q_pip_rect_s2": _pip_oracle_sql(),
         "q_pip_wrap": _pip_wrap_oracle_sql(),
         "q_pip_wrap_s2": _pip_wrap_oracle_sql(),
+        "q_pip_bucketed": _pip_bucketed_oracle_sql(),
         "q_knn_geo": _knn_oracle_sql(),
         "q_knn_geo_s2": _knn_oracle_sql(),
         "q_tile_assignment": _tile_oracle_sql(),

@@ -157,8 +157,8 @@ def point_in_polygon(points: DataFrame, polygons: DataFrame,
         raise ValueError(
             f"point_in_polygon: polygon side has {n_vertices} vertices "
             f"(> {PIP_MAX_DIM_VERTICES}); it is not a broadcastable dim "
-            f"table — split the polygon set or pre-partition both sides "
-            f"by covering cell and refine per partition")
+            f"table — use point_in_polygon_bucketed (distributed "
+            f"coverings + shuffle cell join), or split the polygon set")
 
     if family not in ("equirect", "s2"):
         raise ValueError(f"unknown cell family {family!r}")
@@ -236,6 +236,95 @@ def point_in_polygon(points: DataFrame, polygons: DataFrame,
             yield out
 
     return cand.mapInPandas(refine, out_schema)
+
+
+def point_in_polygon_bucketed(points: DataFrame, polygons: DataFrame,
+                              res: int = DEFAULT_RES,
+                              point_id: str = "image_id",
+                              family: str = "equirect") -> DataFrame:
+    """point_in_polygon for polygon sides TOO LARGE to broadcast — the
+    path the dim-side guard's error message points at.  Same output,
+    fully distributed:
+
+    - coverings are computed executor-side (one mapInPandas over the
+      polygon table; wrapped rings split exactly like the dim path),
+      emitting the (cell, poly_id) pair table — no driver collect, no
+      vertex ceiling;
+    - candidates come from a SHUFFLE hash join on the cell key (AQE
+      handles hot-cell skew; both sides are partitioned by cell, the
+      distributed-geo equi-join shape);
+    - the exact ray-cast refine joins each candidate BATCH back to its
+      ring geometry by poly_id and vectorizes per polygon group within
+      the Arrow batch.
+
+    Cost model vs the dim path: ring coordinates travel once per
+    (polygon, candidate-batch-partition) through the poly_id join
+    instead of once per executor via broadcast — the standard
+    amplification of non-broadcast spatial joins.  Prefer the dim path
+    whenever the polygon side fits PIP_MAX_DIM_VERTICES; this one
+    exists so a 10^7-polygon workload runs instead of being refused."""
+    if family not in ("equirect", "s2"):
+        raise ValueError(f"unknown cell family {family!r}")
+    cover_fn = cx.cover_polygon if family == "equirect" \
+        else cx.s2_cover_polygon
+    cell_col = f"cell_r{res}" if family == "equirect" else f"s2_l{res}"
+
+    poly_geo = polygons.select("poly_id", "ring_lats", "ring_lons")
+
+    def gen_cover(batches):
+        for pdf in batches:
+            for p in pdf.itertuples():
+                rla = np.asarray(p.ring_lats, dtype=np.float64)
+                rlo = np.asarray(p.ring_lons, dtype=np.float64)
+                pieces = [(rla, rlo)] if gk.ring_is_canonical(rla, rlo) \
+                    else gk.split_antimeridian(rla, rlo)
+                cells = set()
+                for pla, plo in pieces:
+                    cells.update(cover_fn(pla, plo, res).tolist())
+                if cells:
+                    yield pd.DataFrame({
+                        "cell": np.fromiter(cells, dtype=np.int64,
+                                            count=len(cells)),
+                        "poly_id": p.poly_id})
+
+    cover = poly_geo.mapInPandas(gen_cover, "cell long, poly_id string")
+
+    cand = points.select(
+        F.col(point_id), "lat", "lon",
+        F.col(cell_col).alias("cell"),
+    ).join(cover, "cell").drop("cell")
+
+    withrings = cand.join(poly_geo, "poly_id")
+
+    out_schema = T.StructType([
+        T.StructField("poly_id", T.StringType()),
+        T.StructField(point_id, points.schema[point_id].dataType),
+        T.StructField("lat", T.DoubleType()),
+        T.StructField("lon", T.DoubleType()),
+    ])
+
+    def refine(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            lats = pdf["lat"].to_numpy()
+            lons = pdf["lon"].to_numpy()
+            keep = np.zeros(len(pdf), dtype=bool)
+            codes, uniq = pd.factorize(pdf["poly_id"])
+            for gi, pid in enumerate(uniq):
+                idx = np.nonzero(codes == gi)[0]
+                r0 = idx[0]
+                rla = np.asarray(pdf["ring_lats"].iat[r0], dtype=np.float64)
+                rlo = np.asarray(pdf["ring_lons"].iat[r0], dtype=np.float64)
+                pieces = [(rla, rlo)] if gk.ring_is_canonical(rla, rlo) \
+                    else gk.split_antimeridian(rla, rlo)
+                hit = np.zeros(len(idx), dtype=bool)
+                for pla, plo in pieces:
+                    hit |= gk.raycast_contains(pla, plo, lats[idx], lons[idx])
+                keep[idx] = hit
+            yield pdf.loc[keep, ["poly_id", point_id, "lat", "lon"]]
+
+    return withrings.mapInPandas(refine, out_schema)
 
 
 # ---------------------------------------------------------------------------

@@ -495,3 +495,28 @@ def test_point_in_polygon_wrapped_ring_spark(spark, points, points_pdf):
                                  family="s2").toPandas()
     assert set(got_s2["image_id"]) == want_ids
     assert len(got_s2) == len(got_s2["image_id"].unique())
+
+
+def test_point_in_polygon_bucketed_equals_dim_path(spark, points, points_pdf):
+    """The distributed (shuffle-join) PIP must return exactly the
+    dim-side path's rows — both families, wrapped ring included."""
+    rla, rlo = _wrapped_pentagon()
+    polys = synth.polygons_df(spark, 8).unionByName(
+        spark.createDataFrame(
+            [("wrapped", rla.tolist(), rlo.tolist(), {})],
+            schema="poly_id string, ring_lats array<double>, "
+                   "ring_lons array<double>, tags map<string,string>"))
+    dim = sp.point_in_polygon(points, polys, res=sp.DEFAULT_RES).toPandas()
+    big = sp.point_in_polygon_bucketed(points, polys,
+                                       res=sp.DEFAULT_RES).toPandas()
+    key = lambda d: set(zip(d["poly_id"], d["image_id"]))
+    assert key(big) == key(dim)
+    assert len(big) == len(key(big))          # no duplicate emissions
+    assert "wrapped" in set(big["poly_id"])   # wrap path exercised
+
+    from pbf2json_spark.functions.cellsql import with_s2_cell
+    pts_s2 = with_s2_cell(points.select("image_id", "lat", "lon"),
+                          "lat", "lon", 8, "s2_l8")
+    big_s2 = sp.point_in_polygon_bucketed(
+        pts_s2, polys, res=8, point_id="image_id", family="s2").toPandas()
+    assert key(big_s2) == key(dim)
