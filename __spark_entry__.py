@@ -432,6 +432,23 @@ FROM pts WHERE lat > {la0} AND lat < {la1}
             + " UNION ALL ".join(parts))
 
 
+def q_knn_join(spark, sf_dir):
+    """Distributed corpus-x-corpus kNN JOIN (r5): every 20th customer
+    point against ALL customer points, k=8, self-pairs excluded — the
+    shape knn() cannot take (both sides unbounded DataFrames; the
+    ladder runs as cell-equi joins + WindowGroupLimit with zero
+    row-scale driver traffic).  The oracle is the exact cross-join
+    rank."""
+    from pbf2json_spark.operators.spatial import knn_join
+    _ship(spark)
+    pts = _customer_points(spark, sf_dir)
+    left = pts.filter(F.col("point_id").cast("long") % 20 == 0) \
+        .select(F.col("point_id").alias("left_id"), "lat", "lon")
+    right = pts.select(F.col("point_id").alias("right_id"), "lat", "lon")
+    res = knn_join(left, right, k=KNN_K, exclude_self=True)
+    return res.select("left_id", "right_id", "rank")
+
+
 def q_knn_geo(spark, sf_dir):
     from pbf2json_spark.operators.spatial import knn
     _ship(spark)
@@ -805,6 +822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pip_wrap_s2": q_pip_wrap_s2,
         "q_pip_bucketed": q_pip_bucketed,
         "q_knn_geo": q_knn_geo,
+        "q_knn_join": q_knn_join,
         "q_knn_geo_s2": q_knn_geo_s2,
         "q_tile_assignment": q_tile_assignment,
         "q_phash_near_dup": q_phash_near_dup,
@@ -1126,6 +1144,24 @@ SELECT query_id, point_id, rank::INT AS rank FROM ranked WHERE rank <= {KNN_K}
 """
 
 
+def _knn_join_oracle_sql() -> str:
+    hav = _haversine_sql("l.lat", "l.lon", "p.lat", "p.lon")
+    return f"""
+WITH pts AS (SELECT c_custkey::VARCHAR AS point_id,
+                    {_LAT_SQL} AS lat, {_LON_SQL} AS lon FROM customer),
+l AS (SELECT * FROM pts WHERE point_id::BIGINT % 20 = 0),
+scored AS (SELECT l.point_id AS left_id, p.point_id AS right_id,
+                  {hav} AS dist_m
+           FROM l CROSS JOIN pts p WHERE p.point_id <> l.point_id),
+ranked AS (SELECT left_id, right_id,
+                  row_number() OVER (PARTITION BY left_id
+                                     ORDER BY dist_m, right_id) AS rank
+           FROM scored)
+SELECT left_id, right_id, rank::INT AS rank FROM ranked
+WHERE rank <= {KNN_K}
+"""
+
+
 def _pip_oracle_sql() -> str:
     parts = []
     for pid, (la0, la1, lo0, lo1) in RECTS.items():
@@ -1250,6 +1286,7 @@ WHERE round(list_cosine_similarity(a.emb, b.emb), 9) >= 0.8"""),
         "q_pip_wrap_s2": _pip_wrap_oracle_sql(),
         "q_pip_bucketed": _pip_bucketed_oracle_sql(),
         "q_knn_geo": _knn_oracle_sql(),
+        "q_knn_join": _knn_join_oracle_sql(),
         "q_knn_geo_s2": _knn_oracle_sql(),
         "q_tile_assignment": _tile_oracle_sql(),
         "q_phash_near_dup": _phash_oracle_sql(),

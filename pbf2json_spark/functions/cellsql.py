@@ -165,6 +165,53 @@ def _s2_ij_morton(face: Column, s: Column, t: Column,
             .bitwiseOR(morton)
 
 
+def cell_ij_cols(lat: Column, lon: Column, res: int):
+    """(i, j) grid coordinates at `res` as a pair of long Columns —
+    the clamped/wrapped index math of cell_id_col without the Morton
+    pack, for callers that need NEIGHBOR cells (disk_cells_col).
+    Materialize these via a projection before fanning out: each
+    neighbor references them twice and janino compile cost grows with
+    the duplicated floor/pmod subtree otherwise."""
+    if not 0 <= res <= MAX_RES:
+        raise ValueError(f"res must be in [0, {MAX_RES}]")
+    nlat, nlon = 1 << res, 2 << res
+    i = F.least(
+        F.greatest(F.floor((lat + F.lit(90.0)) / F.lit(180.0)
+                           * F.lit(float(nlat))), F.lit(0)),
+        F.lit(nlat - 1)).cast("long")
+    j = F.least(
+        F.greatest(F.floor(F.pmod((lon + F.lit(180.0)) / F.lit(360.0),
+                                  F.lit(1.0)) * F.lit(float(nlon))),
+                   F.lit(0)),
+        F.lit(nlon - 1)).cast("long")
+    return i, j
+
+
+def disk_cells_col(i: Column, j: Column, res: int, ring: int = 1) -> Column:
+    """array<long> of the (2*ring+1)^2 k-disk cell ids around grid
+    coordinate (i, j) at `res` — the pure-JVM twin of
+    cellindex.disk(cell_id, ring): longitude wraps (pmod nlon);
+    out-of-range latitude rows become NULL elements (callers explode
+    and filter isNotNull) — the resulting cell SET equals disk()'s
+    clamp-then-dedup at the poles, since clamping i±ring merely
+    re-includes boundary rows already in range.  i/j must be CHEAP
+    column refs (cell_ij_cols through a projection): each element
+    references them once more."""
+    nlat, nlon = 1 << res, 2 << res
+    cells = []
+    for di in range(-ring, ring + 1):
+        for dj in range(-ring, ring + 1):
+            ii = i + F.lit(di)
+            jj = F.pmod(j + F.lit(dj), F.lit(nlon))
+            morton = _part1by1_col(jj).bitwiseOR(
+                F.shiftleft(_part1by1_col(ii), 1))
+            cell = F.shiftleft(F.lit(res).cast("long"), 54) \
+                    .bitwiseOR(morton)
+            cells.append(
+                F.when((ii >= 0) & (ii < nlat), cell))
+    return F.array(*cells)
+
+
 def s2_cell_id_col(lat: Column, lon: Column, level: int) -> Column:
     """(lat, lon) columns -> int64 quad-sphere cell id at `level`,
     the pure-JVM twin of cellindex.s2_cell_id (pinned bit-identical

@@ -1103,6 +1103,169 @@ TILE_SCHEMA = T.StructType([
 DEG_PER_PX = ic.DEG_PER_PX
 
 
+# ---------------------------------------------------------------------------
+# kNN JOIN (corpus x corpus)
+# ---------------------------------------------------------------------------
+
+def _exit_bound_udf(res: int, ring: int):
+    """Vectorized exit-distance bound per row — the same certificate
+    kernel the ladder kNN uses (cellindex.disk_exit_distance_m)."""
+    def bound(lat: pd.Series, lon: pd.Series) -> pd.Series:
+        return pd.Series(cx.disk_exit_distance_m(
+            lat.to_numpy(np.float64), lon.to_numpy(np.float64), res, ring))
+    return F.pandas_udf(bound, T.DoubleType())
+
+
+def knn_join(left: DataFrame, right: DataFrame, k: int,
+             left_id: str = "left_id", right_id: str = "right_id",
+             levels=None, max_level: int | None = None,
+             exclude_self: bool = False) -> DataFrame:
+    """EXACT k nearest `right` rows for EVERY `left` row — the
+    corpus-x-corpus shape knn() cannot take (its query side is a
+    driver-collected dim table; this operator's BOTH sides are
+    unbounded DataFrames and nothing row-scale touches the driver).
+
+    left: (left_id, lat, lon); right: (right_id, lat, lon).  Returns
+    (left_id, right_id, dist_m, rank) with the (dist, id) tiebreak —
+    identical ordering to knn()/the SQL oracle.
+
+    Plan per ladder level L (fine -> coarse, all distributed):
+      1. left derives its (i, j) grid coordinate (cell_ij_cols, JVM)
+         and explodes its 3x3 disk cells (disk_cells_col — pure bit
+         math off projected columns);
+      2. cell-equi join against the right side's precomputed cell
+         column at L (one narrow persisted frame carries every ladder
+         level's cell);
+      3. JVM haversine + row_number window, filtered rank<=k
+         immediately (WindowGroupLimit partial top-k — no full sort);
+      4. a left row is DONE when it found k candidates AND its kth
+         distance <= the disk exit bound (the same certificate kNN's
+         ladder uses: nothing outside the 3x3 window can be closer).
+         n_found comes from max(rank) of the top-k rows themselves —
+         a count window over the same partition would force the full
+         sort WindowGroupLimit just avoided.
+    Rows still unsatisfied after the coarsest level fold into knn()'s
+    exact machinery (they are the sparse-region tail; the fold is
+    bounded by KNN_MAX_QUERIES).
+
+    Exactness across levels: recomputing at a coarser level never
+    loses candidates — a point's ring-1 window at L is geometrically
+    contained in its ring-1 window at any coarser level, so each
+    round's top-k supersedes the previous round's partial view.
+
+    The start level auto-sizes so an average 3x3 window holds
+    ~4k right rows (count job on the persisted right frame); pass
+    `levels` explicitly to pin the ladder.  exclude_self drops
+    left_id == right_id pairs BEFORE ranking (the self-dedup shape)."""
+    from ..functions.cellsql import cell_id_col, cell_ij_cols, disk_cells_col
+
+    right_base = right.select(
+        F.col(right_id), F.col("lat").alias("r_lat"),
+        F.col("lon").alias("r_lon"))
+
+    if levels is None:
+        n_right = right_base.count()
+        # expected window occupancy 9*N/(2*4^L) >= 4k  =>  L bound
+        l0 = int(np.floor(np.log(max(9 * n_right / (8.0 * k), 2.0))
+                          / np.log(4.0)))
+        l0 = int(np.clip(l0, 3, max_level or 12))
+        levels = [L for L in range(l0, 2, -2)]
+    levels = list(levels)
+
+    right_ml = right_base.select(
+        "*", *[cell_id_col(F.col("r_lat"), F.col("r_lon"), L)
+               .alias(f"_c{L}") for L in levels]).persist()
+
+    remaining = left.select(
+        F.col(left_id), F.col("lat").alias("l_lat"),
+        F.col("lon").alias("l_lon"))
+    results = []
+    caches = []
+    for L in levels:
+        i, j = cell_ij_cols(F.col("l_lat"), F.col("l_lon"), L)
+        lw = remaining.select("*", i.alias("_i"), j.alias("_j"))
+        lw = lw.select(F.col(left_id), "l_lat", "l_lon",
+                       F.explode(disk_cells_col(
+                           F.col("_i"), F.col("_j"), L, 1)).alias("_c")) \
+               .filter(F.col("_c").isNotNull())
+        cand = lw.join(right_ml.select(
+            F.col(right_id), "r_lat", "r_lon",
+            F.col(f"_c{L}").alias("_c")), "_c")
+        if exclude_self:
+            cand = cand.filter(F.col(left_id) != F.col(right_id))
+        dist = _haversine_col(F.col("l_lat"), F.col("l_lon"),
+                              F.col("r_lat"), F.col("r_lon"))
+        w = Window.partitionBy(left_id).orderBy(
+            F.asc("dist_m"), F.asc(right_id))
+        top = cand.select(F.col(left_id), "l_lat", "l_lon",
+                          F.col(right_id), dist.alias("dist_m")) \
+                  .withColumn("rank", F.row_number().over(w)) \
+                  .filter(F.col("rank") <= k) \
+                  .localCheckpoint(eager=True)
+        caches.append(top)
+        stats = top.groupBy(left_id).agg(
+            F.max("rank").alias("n_found"),
+            F.max("dist_m").alias("kth_dist"),
+            F.first("l_lat").alias("l_lat"),
+            F.first("l_lon").alias("l_lon"))
+        bound = _exit_bound_udf(L, 1)
+        stats = stats.withColumn(
+            "_ok", (F.col("n_found") == k)
+            & (F.col("kth_dist") <= bound(F.col("l_lat"), F.col("l_lon"))))
+        done_ids = stats.filter("_ok").select(left_id)
+        results.append(top.join(done_ids, left_id, "leftsemi")
+                       .select(left_id, right_id, "dist_m", "rank"))
+        remaining = stats.filter(~F.col("_ok")).select(
+            F.col(left_id), F.col("l_lat"), F.col("l_lon")) \
+            .unionByName(
+                remaining.join(stats.select(left_id), left_id,
+                               "leftanti"))
+        remaining = remaining.localCheckpoint(eager=True)
+        if not remaining.take(1):
+            break
+    else:
+        # sparse-region tail: exact fold into the ladder kNN (its
+        # query-side guard bounds this collect)
+        tail = remaining
+        if tail.take(1):
+            q = tail.select(F.col(left_id).alias("query_id"),
+                            F.col("l_lat").alias("lat"),
+                            F.col("l_lon").alias("lon"))
+            res_col = f"cell_r{KNN_RES}"
+            pts = right_base.select(
+                F.col(right_id).alias("_pid"),
+                F.col("r_lat").alias("lat"), F.col("r_lon").alias("lon"))
+            from ..functions.cellsql import cell_id_col as _cid
+            pts = pts.select("*", _cid(F.col("lat"), F.col("lon"),
+                                       KNN_RES).alias(res_col))
+            # exclude_self must hold on the folded tail too: ask knn
+            # for one extra neighbor, drop self-pairs, re-rank
+            folded = knn(pts, q, k=k + (1 if exclude_self else 0),
+                         res=KNN_RES, initial_ring=2, point_id="_pid")
+            if exclude_self:
+                folded = folded.filter(F.col("query_id") != F.col("_pid"))
+                wf = Window.partitionBy("query_id").orderBy(
+                    F.asc("dist_m"), F.asc("_pid"))
+                folded = folded.withColumn(
+                    "rank", F.row_number().over(wf)) \
+                    .filter(F.col("rank") <= k)
+            results.append(folded.select(
+                F.col("query_id").alias(left_id),
+                F.col("_pid").alias(right_id), "dist_m", "rank"))
+
+    out = results[0]
+    for r in results[1:]:
+        out = out.unionByName(r)
+    out = out.localCheckpoint(eager=True)
+    for c in caches:
+        try:
+            c.unpersist()
+        except Exception:
+            pass
+    right_ml.unpersist()
+    return out
+
+
 def _block_cell_fn(res: int, family: str):
     """Block-center -> cell mapper for the chosen index family."""
     if family == "equirect":

@@ -520,3 +520,86 @@ def test_point_in_polygon_bucketed_equals_dim_path(spark, points, points_pdf):
     big_s2 = sp.point_in_polygon_bucketed(
         pts_s2, polys, res=8, point_id="image_id", family="s2").toPandas()
     assert key(big_s2) == key(dim)
+
+
+def test_knn_join_exact_vs_brute(spark):
+    """Distributed corpus-x-corpus kNN join: exact (dist, id) top-k for
+    every left row vs the numpy brute oracle, on a mixed hotspot +
+    sparse layout that forces ladder escalation AND the knn() tail
+    fold; plus the exclude_self self-dedup shape."""
+    import pandas as _pd
+    rng = np.random.default_rng(11)
+    NR, NL, K = 1500, 200, 5
+    rlat = np.concatenate([rng.normal(48, 1.5, NR // 2),
+                           rng.uniform(-85, 85, NR - NR // 2)])
+    rlon = np.concatenate([rng.normal(11, 2.0, NR // 2),
+                           rng.uniform(-180, 180, NR - NR // 2)])
+    llat = np.concatenate([rng.normal(48, 1.5, NL // 2),
+                           rng.uniform(-85, 85, NL - NL // 2)])
+    llon = np.concatenate([rng.normal(11, 2.0, NL // 2),
+                           rng.uniform(-180, 180, NL - NL // 2)])
+    rids = np.array([f"r{i:05d}" for i in range(NR)])
+    lids = np.array([f"l{i:05d}" for i in range(NL)])
+    right = spark.createDataFrame(_pd.DataFrame(
+        {"right_id": rids, "lat": rlat, "lon": rlon}))
+    left = spark.createDataFrame(_pd.DataFrame(
+        {"left_id": lids, "lat": llat, "lon": llon}))
+
+    got = sp.knn_join(left, right, k=K).toPandas()
+    assert len(got) == NL * K
+    for li in range(NL):
+        d = gk.haversine_m(llat[li], llon[li], rlat, rlon)
+        order = np.lexsort((rids, d))[:K]
+        sub = got[got["left_id"] == lids[li]].sort_values("rank")
+        assert sub["right_id"].tolist() == rids[order].tolist(), lids[li]
+
+    # self-join with exclude_self: nearest OTHER row, never itself
+    sr = spark.createDataFrame(_pd.DataFrame(
+        {"right_id": rids[:300], "lat": rlat[:300], "lon": rlon[:300]}))
+    sl = sr.selectExpr("right_id as left_id", "lat", "lon")
+    selfk = sp.knn_join(sl, sr, k=3, exclude_self=True).toPandas()
+    assert (selfk["left_id"] != selfk["right_id"]).all()
+    assert len(selfk) == 300 * 3
+    for li in range(0, 300, 29):
+        d = gk.haversine_m(rlat[li], rlon[li], rlat[:300], rlon[:300])
+        cand = np.ones(300, dtype=bool)
+        cand[li] = False
+        order = np.lexsort((rids[:300][cand], d[cand]))[:3]
+        want = rids[:300][cand][order].tolist()
+        sub = selfk[selfk["left_id"] == rids[li]].sort_values("rank")
+        assert sub["right_id"].tolist() == want
+
+
+def test_disk_cells_col_matches_numpy_disk(spark):
+    """The JVM neighbor-disk expression equals cellindex.disk cell-for-
+    cell, including lon wrap and pole clamp-dedup."""
+    import pandas as _pd
+    from pyspark.sql import functions as F
+
+    from pbf2json_spark.functions.cellsql import cell_ij_cols, disk_cells_col
+    rng = np.random.default_rng(4)
+    lat = np.concatenate([rng.uniform(-90, 90, 300),
+                          [89.9, -89.9, 0.0, 45.0]])
+    lon = np.concatenate([rng.uniform(-180, 180, 300),
+                          [179.9, -179.9, 0.0, -180.0]])
+    pdf = _pd.DataFrame({"lat": lat, "lon": lon})
+    df = spark.createDataFrame(pdf)
+    dfi = df.select("*", F.monotonically_increasing_id().alias("rid"))
+    for res in (3, 6, 9):
+        i, j = cell_ij_cols(F.col("lat"), F.col("lon"), res)
+        # explode + null-filter JVM-side: a nullable long ARRAY column
+        # round-trips through pandas as float64, which cannot represent
+        # res-9 cell ids exactly (> 2^53) — the operator never does
+        # that conversion, only this test would have
+        out = dfi.select("rid", i.alias("_i"), j.alias("_j")) \
+            .select("rid", F.explode(disk_cells_col(
+                F.col("_i"), F.col("_j"), res, 1)).alias("c")) \
+            .filter(F.col("c").isNotNull()).toPandas()
+        got_sets = out.groupby("rid")["c"].apply(set)
+        base = cx.cell_id(lat, lon, res)
+        rid_order = dfi.select("rid").toPandas()["rid"].to_numpy()
+        for r in range(len(lat)):
+            want = {c for c in np.asarray(
+                cx.disk(np.array([base[r]]), 1)).ravel().tolist()
+                if c != -1}
+            assert got_sets[rid_order[r]] == want, (lat[r], lon[r], res)
