@@ -87,6 +87,12 @@ class Engine:
         from .operators.spatial import tile_assignment
         return tile_assignment(images_geo, grid, res)
 
+    def knn_join(self, left, right, k, **kw):
+        """Exact corpus-x-corpus kNN (both sides unbounded DataFrames;
+        cell-ladder joins, nothing row-scale on the driver)."""
+        from .operators.spatial import knn_join
+        return knn_join(left, right, k, **kw)
+
     def attach_s2(self, df, lat_col="lat", lon_col="lon", level=9,
                   out_col=None, persist=True):
         """Attach-once quad-sphere indexing (the session-level answer

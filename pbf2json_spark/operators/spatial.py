@@ -652,8 +652,10 @@ def knn(points: DataFrame, queries: DataFrame, k: int,
     and per-query disk tables are built driver-side each round
     (~100 B/query/round), so the operator refuses more than
     KNN_MAX_QUERIES (1M) queries with a batching hint rather than
-    OOMing the driver.  The point side is unbounded.  For s2 with
-    keep_fst ingest columns, see the staleness caller contract below.
+    OOMing the driver.  The point side is unbounded.  For a query side
+    that is itself a corpus, use knn_join (both sides distributed).
+    For s2 with keep_fst ingest columns, see the staleness caller
+    contract below.
 
     family='s2' runs the identical ladder on the quad-sphere index
     (points carry s2_l{density} for the density aggregate): disks are
@@ -752,7 +754,7 @@ def knn(points: DataFrame, queries: DataFrame, k: int,
         f"knn with {len(remaining)} queries would build a driver-side "
         f"disk table per query per round (queries are the dim side by "
         f"design; ceiling {KNN_MAX_QUERIES}) — batch the query set, or "
-        f"swap sides so the larger table is `points`")
+        f"use knn_join (both sides distributed, no driver tables)")
     _mark("collect_queries")
     n_queries0 = max(len(remaining), 1)
     spark = points.sparkSession
