@@ -1173,6 +1173,8 @@ def knn_join(left: DataFrame, right: DataFrame, k: int,
         l0 = int(np.clip(l0, 3, max_level or 12))
         levels = [L for L in range(l0, 2, -2)]
     levels = list(levels)
+    if not levels:
+        raise ValueError("knn_join: empty level ladder")
 
     right_ml = right_base.select(
         "*", *[cell_id_col(F.col("r_lat"), F.col("r_lon"), L)

@@ -43,6 +43,10 @@ def test_engine_attach_s2_once_serves_many_consumers(spark):
     assert {"_s2f", "_s2s", "_s2t", "s2_l9"} <= set(s2.columns)
 
     q = synth.knn_queries_df(spark, 5, k=3)
+    pts_j = geo.selectExpr("image_id as right_id", "lat", "lon")
+    nj = eng.knn_join(pts_j.selectExpr("right_id as left_id", "lat", "lon"),
+                      pts_j, k=2, exclude_self=True)
+    assert nj.count() == 300 * 2
     nn_eq = eng.knn(geo, q, k=3).toPandas()
     nn_s2 = eng.knn(s2, q, k=3, family="s2").toPandas()
     key = ["query_id", "rank"]

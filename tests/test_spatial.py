@@ -603,3 +603,72 @@ def test_disk_cells_col_matches_numpy_disk(spark):
                 cx.disk(np.array([base[r]]), 1)).ravel().tolist()
                 if c != -1}
             assert got_sets[rid_order[r]] == want, (lat[r], lon[r], res)
+
+
+def test_split_antimeridian_property_random_wrapped_rings():
+    """Property test: random star-convex rings centered near +-180
+    (guaranteed simple, wrapped with probability ~1) — the union of
+    split pieces must equal the unwrapped-plane containment oracle,
+    and the covering superset must hold per piece."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.integers(0, 2**32 - 1))
+    def run(seed):
+        rng = np.random.default_rng(seed)
+        n_v = int(rng.integers(3, 12))
+        clat = float(rng.uniform(-55, 55))
+        clon = float(rng.choice([-180.0, 180.0])) + float(rng.uniform(-5, 5))
+        ang = np.sort(rng.uniform(0, 2 * np.pi, n_v))
+        rad = rng.uniform(3.0, 25.0, n_v)
+        rla = np.clip(clat + rad * np.sin(ang), -89.0, 89.0)
+        rlo_unwrapped = clon + rad * np.cos(ang)
+        # canonicalize vertex lons into [-180, 180) as a user would pass
+        rlo = np.mod(rlo_unwrapped + 180.0, 360.0) - 180.0
+
+        pieces = gk.split_antimeridian(rla, rlo)
+        plat = rng.uniform(clat - 30, clat + 30, 4000)
+        plon = rng.uniform(-180, 180, 4000)
+        got = np.zeros(len(plat), dtype=bool)
+        for pla, plo in pieces:
+            assert gk.ring_is_canonical(pla, plo)
+            got |= gk.raycast_contains(pla, plo, plat, plon)
+        truth = np.zeros(len(plat), dtype=bool)
+        for k in (-360.0, 0.0, 360.0):
+            truth |= gk.raycast_contains(rla, rlo_unwrapped, plat, plon + k)
+        assert (got == truth).all()
+        # covering superset on each piece (equirect, coarse res)
+        for pla, plo in pieces:
+            inside = gk.raycast_contains(pla, plo, plat, plon)
+            if inside.any():
+                cells = set(cx.cover_polygon(pla, plo, 6).tolist())
+                assert set(cx.cell_id(plat[inside], plon[inside],
+                                      6).tolist()) <= cells
+
+    run()
+
+
+def test_knn_join_exact_polar(spark):
+    """knn_join exactness at polar latitudes, where equirect cells
+    shrink and disks over-expand — the certificate must still hold."""
+    import pandas as _pd
+    rng = np.random.default_rng(21)
+    NR, NL, K = 800, 80, 4
+    rlat = rng.uniform(75, 89.5, NR)
+    rlon = rng.uniform(-180, 180, NR)
+    llat = rng.uniform(75, 89.5, NL)
+    llon = rng.uniform(-180, 180, NL)
+    rids = np.array([f"r{i:05d}" for i in range(NR)])
+    lids = np.array([f"l{i:05d}" for i in range(NL)])
+    right = spark.createDataFrame(_pd.DataFrame(
+        {"right_id": rids, "lat": rlat, "lon": rlon}))
+    left = spark.createDataFrame(_pd.DataFrame(
+        {"left_id": lids, "lat": llat, "lon": llon}))
+    got = sp.knn_join(left, right, k=K).toPandas()
+    assert len(got) == NL * K
+    for li in range(NL):
+        d = gk.haversine_m(llat[li], llon[li], rlat, rlon)
+        order = np.lexsort((rids, d))[:K]
+        sub = got[got["left_id"] == lids[li]].sort_values("rank")
+        assert sub["right_id"].tolist() == rids[order].tolist(), lids[li]
