@@ -212,6 +212,47 @@ def disk_cells_col(i: Column, j: Column, res: int, ring: int = 1) -> Column:
     return F.array(*cells)
 
 
+def with_disk_cells(df, i_col: str, j_col: str, res: int, ring: int,
+                    out_col: str):
+    """df + array<long> of the (2*ring+1)^2 disk cells around the grid
+    coordinate in (i_col, j_col) at `res` — the wide-ring form of
+    disk_cells_col, structured for janino: a (2*ring+1)^2-element array
+    where every element carries its own byte-table Morton spread blew
+    the 64 KB generated-method limit at ring=2 (whole Generate knocked
+    to interpreted mode, measured 2x slower end-to-end).  Here the
+    2*(2*ring+1) spread components are computed ONCE in a projection
+    via the literal-free mask-shift cascade (_spread_steps over cheap
+    column refs — compiles in ms even fused with a scan), and the
+    array elements are 3-bit-op shift/or combos of those columns.
+
+    Out-of-range latitude rows yield NULL elements (callers explode +
+    filter isNotNull); longitude wraps.  i/j must be plain columns on
+    df (project them first)."""
+    nlat, nlon = 1 << res, 2 << res
+    steps = list(zip(_SPREAD_MASKS, _SPREAD_SHIFTS))
+    offs = range(-ring, ring + 1)
+    sel = ["*"]
+    for d in offs:
+        ii = F.col(i_col) + F.lit(d)
+        spread_i = _spread_steps(ii.bitwiseAND(F.lit(0x7FFFFFF)), steps)
+        sel.append(F.when((ii >= 0) & (ii < nlat), spread_i)
+                   .alias(f"_dsi{d + ring}"))
+        jj = F.pmod(F.col(j_col) + F.lit(d), F.lit(nlon))
+        sel.append(_spread_steps(jj.bitwiseAND(F.lit(0x7FFFFFF)), steps)
+                   .alias(f"_dsj{d + ring}"))
+    df = df.select(*sel)
+    pre = F.shiftleft(F.lit(res).cast("long"), 54)
+    cells = []
+    for di in offs:
+        for dj in offs:
+            morton = F.col(f"_dsj{dj + ring}").bitwiseOR(
+                F.shiftleft(F.col(f"_dsi{di + ring}"), 1))
+            cells.append(pre.bitwiseOR(morton))
+    df = df.select("*", F.array(*cells).alias(out_col))
+    return df.drop(*[f"_dsi{d + ring}" for d in offs],
+                   *[f"_dsj{d + ring}" for d in offs])
+
+
 def s2_cell_id_col(lat: Column, lon: Column, level: int) -> Column:
     """(lat, lon) columns -> int64 quad-sphere cell id at `level`,
     the pure-JVM twin of cellindex.s2_cell_id (pinned bit-identical

@@ -1109,19 +1109,34 @@ DEG_PER_PX = ic.DEG_PER_PX
 # kNN JOIN (corpus x corpus)
 # ---------------------------------------------------------------------------
 
-def _exit_bound_udf(res: int, ring: int):
-    """Vectorized exit-distance bound per row — the same certificate
-    kernel the ladder kNN uses (cellindex.disk_exit_distance_m)."""
-    def bound(lat: pd.Series, lon: pd.Series) -> pd.Series:
-        return pd.Series(cx.disk_exit_distance_m(
-            lat.to_numpy(np.float64), lon.to_numpy(np.float64), res, ring))
+def _exit_bound_levels_udf(levels, ring: int):
+    """Vectorized exit-distance bound per row AT THE ROW'S OWN ladder
+    level — the same certificate kernel the ladder kNN uses
+    (cellindex.disk_exit_distance_m), looped over the <= len(levels)
+    distinct levels inside one Arrow batch."""
+    levels = tuple(int(L) for L in levels)
+
+    def bound(lat: pd.Series, lon: pd.Series, li: pd.Series) -> pd.Series:
+        la = lat.to_numpy(np.float64)
+        lo = lon.to_numpy(np.float64)
+        ix = li.to_numpy(np.int64)
+        out = np.empty(len(la), dtype=np.float64)
+        for i, L in enumerate(levels):
+            m = ix == i
+            if m.any():
+                out[m] = cx.disk_exit_distance_m(la[m], lo[m], L, ring)
+        return pd.Series(out)
+
     return F.pandas_udf(bound, T.DoubleType())
 
 
 def knn_join(left: DataFrame, right: DataFrame, k: int,
              left_id: str = "left_id", right_id: str = "right_id",
-             levels=None, max_level: int | None = None,
-             exclude_self: bool = False) -> DataFrame:
+             levels=(16, 14, 12, 10, 8, 6, 4), probe_level: int = 9,
+             margin: float = 4.0, ring: int = 1,
+             tail_fold_frac: float = 0.01,
+             exclude_self: bool = False,
+             trace: dict | None = None) -> DataFrame:
     """EXACT k nearest `right` rows for EVERY `left` row — the
     corpus-x-corpus shape knn() cannot take (its query side is a
     driver-collected dim table; this operator's BOTH sides are
@@ -1131,77 +1146,143 @@ def knn_join(left: DataFrame, right: DataFrame, k: int,
     (left_id, right_id, dist_m, rank) with the (dist, id) tiebreak —
     identical ordering to knn()/the SQL oracle.
 
-    Plan per ladder level L (fine -> coarse, all distributed):
-      1. left derives its (i, j) grid coordinate (cell_ij_cols, JVM)
-         and explodes its 3x3 disk cells (disk_cells_col — pure bit
-         math off projected columns);
-      2. cell-equi join against the right side's precomputed cell
-         column at L (one narrow persisted frame carries every ladder
-         level's cell);
+    DENSITY-AWARE PER-ROW LEVELS (the hot-cell survival property): a
+    single global join level dies on zipfian geo data — a city-center
+    cell holding 10^4+ right rows would hand every left row in it a
+    10^5-candidate 3x3 window (candidate volume ~ occupancy^2 per hot
+    cell).  Instead, one bounded density aggregate at `probe_level`
+    (<= 2*4^probe cells regardless of corpus size, the same presizing
+    knn() uses driver-side — here it stays a DataFrame join) gives
+    each left row the FINEST ladder level whose expected 3x3 window
+    holds ~margin*k right rows: dense rows join at level 12 (small
+    windows), sparse rows start coarse.  Expected candidates per left
+    row are ~margin*k at EVERY density, so hot cells cost the same
+    per row as empty ocean.
+
+    Plan per round (all distributed; rows at DIFFERENT levels share
+    one join because a cell id embeds its level in bits 54+):
+      1. left derives (i, j) ONCE at the finest ladder level; a
+         coarser level's coordinates are exact right-shifts (floor
+         commutes with power-of-2 scaling), so the per-row 3x3 disk
+         explode is a small branch over lvl_idx of pure bit math
+         (cellsql.disk_cells_col);
+      2. cell-equi join against right_long — the right side exploded
+         ONCE to (cell, id, lat, lon) rows for every ladder level
+         (len(levels) * N rows, ~40 B each: the ingest-time index
+         pattern, persisted across rounds);
       3. JVM haversine + row_number window, filtered rank<=k
-         immediately (WindowGroupLimit partial top-k — no full sort);
+         immediately (WindowGroupLimit partial top-k both sides of
+         the exchange);
       4. a left row is DONE when it found k candidates AND its kth
-         distance <= the disk exit bound (the same certificate kNN's
-         ladder uses: nothing outside the 3x3 window can be closer).
-         n_found comes from max(rank) of the top-k rows themselves —
-         a count window over the same partition would force the full
-         sort WindowGroupLimit just avoided.
-    Rows still unsatisfied after the coarsest level fold into knn()'s
-    exact machinery (they are the sparse-region tail; the fold is
-    bounded by KNN_MAX_QUERIES).
+         distance <= the disk exit bound at ITS level (the ladder
+         kNN certificate); n_found comes from max(rank) of the top-k
+         rows themselves — a count window over the same partition
+         would force the full sort WindowGroupLimit just avoided.
+    Unsatisfied rows coarsen (lvl_idx + 1) and re-join next round;
+    rows that exhaust the ladder fold into knn()'s exact machinery
+    (the sparse-region tail; bounded by KNN_MAX_QUERIES).
 
     Exactness across levels: recomputing at a coarser level never
-    loses candidates — a point's ring-1 window at L is geometrically
-    contained in its ring-1 window at any coarser level, so each
-    round's top-k supersedes the previous round's partial view.
+    loses candidates — a point's ring-1 window at level L is
+    geometrically contained in its ring-1 window at any coarser
+    level, so each round's top-k supersedes the previous round's
+    partial view.
 
-    The start level auto-sizes so an average 3x3 window holds
-    ~4k right rows (count job on the persisted right frame); pass
-    `levels` explicitly to pin the ladder.  exclude_self drops
-    left_id == right_id pairs BEFORE ranking (the self-dedup shape)."""
-    from ..functions.cellsql import cell_id_col, cell_ij_cols, disk_cells_col
+    exclude_self drops left_id == right_id pairs BEFORE ranking (the
+    self-dedup shape), on the folded tail too."""
+    from ..functions.cellsql import (cell_id_col, cell_ij_cols,
+                                     disk_cells_col, with_disk_cells)
+
+    levels = sorted({int(L) for L in levels}, reverse=True)
+    if not levels:
+        raise ValueError("knn_join: empty level ladder")
+    finest = levels[0]
+    n_lvls = len(levels)
 
     right_base = right.select(
         F.col(right_id), F.col("lat").alias("r_lat"),
         F.col("lon").alias("r_lon"))
+    cells_arr = F.array(*[cell_id_col(F.col("r_lat"), F.col("r_lon"), L)
+                          for L in levels])
+    right_long = right_base.select(
+        "*", F.explode(cells_arr).alias("_c")).persist()
 
-    if levels is None:
-        n_right = right_base.count()
-        # expected window occupancy 9*N/(2*4^L) >= 4k  =>  L bound
-        l0 = int(np.floor(np.log(max(9 * n_right / (8.0 * k), 2.0))
-                          / np.log(4.0)))
-        l0 = int(np.clip(l0, 3, max_level or 12))
-        levels = [L for L in range(l0, 2, -2)]
-    levels = list(levels)
-    if not levels:
-        raise ValueError("knn_join: empty level ladder")
-
-    right_ml = right_base.select(
-        "*", *[cell_id_col(F.col("r_lat"), F.col("r_lon"), L)
-               .alias(f"_c{L}") for L in levels]).persist()
-
-    remaining = left.select(
+    # bounded density probe -> per-left-row start level (finest level
+    # whose expected 3x3 window >= margin*k; coarsest if none)
+    dens = right_base.select(
+        cell_id_col(F.col("r_lat"), F.col("r_lon"), probe_level)
+        .alias("_cp")).groupBy("_cp").count()
+    left0 = left.select(
         F.col(left_id), F.col("lat").alias("l_lat"),
         F.col("lon").alias("l_lon"))
+    left0 = left0.select(
+        "*", cell_id_col(F.col("l_lat"), F.col("l_lon"), probe_level)
+        .alias("_cp")) \
+        .join(dens, "_cp", "left") \
+        .withColumn("_cnt", F.coalesce(F.col("count"), F.lit(0))) \
+        .drop("_cp", "count")
+    start = F.lit(n_lvls - 1)
+    for idx in range(n_lvls - 2, -1, -1):
+        L = levels[idx]
+        # expected window count = cnt * 9 / 4^(L - probe)
+        w_cells = float((2 * ring + 1) ** 2)
+        thr = margin * k * (4.0 ** (L - probe_level)) / w_cells
+        start = F.when(F.col("_cnt") >= thr, F.lit(idx)).otherwise(start)
+    remaining = left0.select(F.col(left_id), "l_lat", "l_lon",
+                             start.alias("_li"))
+    remaining = remaining.localCheckpoint(eager=True)
+    n_left = remaining.count()
+
+    bound_udf = _exit_bound_levels_udf(levels, ring)
     results = []
     caches = []
-    for L in levels:
-        i, j = cell_ij_cols(F.col("l_lat"), F.col("l_lon"), L)
-        lw = remaining.select("*", i.alias("_i"), j.alias("_j"))
-        lw = lw.select(F.col(left_id), "l_lat", "l_lon",
-                       F.explode(disk_cells_col(
-                           F.col("_i"), F.col("_j"), L, 1)).alias("_c")) \
-               .filter(F.col("_c").isNotNull())
-        cand = lw.join(right_ml.select(
-            F.col(right_id), "r_lat", "r_lon",
-            F.col(f"_c{L}").alias("_c")), "_c")
+    fold_rows = None
+    import time as _time
+    for _round in range(n_lvls):
+        _t0 = _time.perf_counter()
+        i, j = cell_ij_cols(F.col("l_lat"), F.col("l_lon"), finest)
+        base = remaining.select("*", i.alias("_if"), j.alias("_jf"))
+        # per-row disk at its own level: coarser (i, j) are exact
+        # right-shifts of the finest pair (floor/2^n commute).  One
+        # small filtered Generate PER LEVEL, unioned — a single
+        # CASE-over-levels array inside one Generate blew janino's
+        # 64 KB method limit at 7 ladder rungs; the union keeps every
+        # doConsume tiny and the branches all read the same
+        # checkpointed frame.  ring=1 (default) uses the compact
+        # byte-table disk expression; wider rings route through
+        # with_disk_cells (pre-spread projection) because 25
+        # byte-table cells in one Generate also blow the 64 KB limit —
+        # at the cost of a deeper per-branch projection chain, which
+        # is why 1 stays the default (see BENCH notes).
+        parts = []
+        for idx, L in enumerate(levels):
+            sh = finest - L
+            if ring == 1:
+                arm = disk_cells_col(F.shiftright(F.col("_if"), sh),
+                                     F.shiftright(F.col("_jf"), sh), L, 1)
+                p = base.filter(F.col("_li") == idx).select(
+                    F.col(left_id), "l_lat", "l_lon", "_li",
+                    F.explode(arm).alias("_c"))
+            else:
+                p = base.filter(F.col("_li") == idx).select(
+                    F.col(left_id), "l_lat", "l_lon", "_li",
+                    F.shiftright(F.col("_if"), sh).alias("_iL"),
+                    F.shiftright(F.col("_jf"), sh).alias("_jL"))
+                p = with_disk_cells(p, "_iL", "_jL", L, ring, "_cells")
+                p = p.select(F.col(left_id), "l_lat", "l_lon", "_li",
+                             F.explode("_cells").alias("_c"))
+            parts.append(p.filter(F.col("_c").isNotNull()))
+        lw = parts[0]
+        for p in parts[1:]:
+            lw = lw.unionByName(p)
+        cand = lw.join(right_long, "_c")
         if exclude_self:
             cand = cand.filter(F.col(left_id) != F.col(right_id))
         dist = _haversine_col(F.col("l_lat"), F.col("l_lon"),
                               F.col("r_lat"), F.col("r_lon"))
         w = Window.partitionBy(left_id).orderBy(
             F.asc("dist_m"), F.asc(right_id))
-        top = cand.select(F.col(left_id), "l_lat", "l_lon",
+        top = cand.select(F.col(left_id), "l_lat", "l_lon", "_li",
                           F.col(right_id), dist.alias("dist_m")) \
                   .withColumn("rank", F.row_number().over(w)) \
                   .filter(F.col("rank") <= k) \
@@ -1211,51 +1292,75 @@ def knn_join(left: DataFrame, right: DataFrame, k: int,
             F.max("rank").alias("n_found"),
             F.max("dist_m").alias("kth_dist"),
             F.first("l_lat").alias("l_lat"),
-            F.first("l_lon").alias("l_lon"))
-        bound = _exit_bound_udf(L, 1)
+            F.first("l_lon").alias("l_lon"),
+            F.first("_li").alias("_li"))
         stats = stats.withColumn(
             "_ok", (F.col("n_found") == k)
-            & (F.col("kth_dist") <= bound(F.col("l_lat"), F.col("l_lon"))))
+            & (F.col("kth_dist") <= bound_udf(
+                F.col("l_lat"), F.col("l_lon"), F.col("_li"))))
         done_ids = stats.filter("_ok").select(left_id)
         results.append(top.join(done_ids, left_id, "leftsemi")
                        .select(left_id, right_id, "dist_m", "rank"))
-        remaining = stats.filter(~F.col("_ok")).select(
-            F.col(left_id), F.col("l_lat"), F.col("l_lon")) \
-            .unionByName(
-                remaining.join(stats.select(left_id), left_id,
-                               "leftanti"))
-        remaining = remaining.localCheckpoint(eager=True)
-        if not remaining.take(1):
+        # unsatisfied: rows seen-but-not-ok, plus rows with ZERO
+        # candidates this round (no stats row at all)
+        unsat = stats.filter(~F.col("_ok")).select(
+            F.col(left_id), "l_lat", "l_lon", "_li") \
+            .unionByName(remaining.join(stats.select(left_id), left_id,
+                                        "leftanti")
+                         .select(F.col(left_id), "l_lat", "l_lon",
+                                 "_li"))
+        exhausted = unsat.filter(F.col("_li") >= n_lvls - 1)
+        fold_rows = exhausted if fold_rows is None else \
+            fold_rows.unionByName(exhausted)
+        remaining = unsat.filter(F.col("_li") < n_lvls - 1) \
+            .withColumn("_li", F.col("_li") + 1) \
+            .localCheckpoint(eager=True)
+        n_rem = remaining.count()
+        if trace is not None:
+            trace[f"round{_round}"] = {
+                "sec": round(_time.perf_counter() - _t0, 2),
+                "remaining": n_rem}
+        if n_rem == 0:
             break
-    else:
+        # small-tail early fold: another distributed round costs ~8
+        # fixed job floors regardless of size; below this fraction the
+        # ladder kNN finishes the stragglers faster than the round
+        # machinery restarts
+        if n_rem <= max(1024, int(tail_fold_frac * n_left)):
+            fold_rows = remaining if fold_rows is None else \
+                fold_rows.unionByName(remaining)
+            remaining = remaining.limit(0)
+            break
+    if remaining.take(1):
+        fold_rows = remaining if fold_rows is None else \
+            fold_rows.unionByName(remaining)
+
+    if fold_rows is not None and fold_rows.take(1):
         # sparse-region tail: exact fold into the ladder kNN (its
         # query-side guard bounds this collect)
-        tail = remaining
-        if tail.take(1):
-            q = tail.select(F.col(left_id).alias("query_id"),
-                            F.col("l_lat").alias("lat"),
-                            F.col("l_lon").alias("lon"))
-            res_col = f"cell_r{KNN_RES}"
-            pts = right_base.select(
-                F.col(right_id).alias("_pid"),
-                F.col("r_lat").alias("lat"), F.col("r_lon").alias("lon"))
-            from ..functions.cellsql import cell_id_col as _cid
-            pts = pts.select("*", _cid(F.col("lat"), F.col("lon"),
-                                       KNN_RES).alias(res_col))
-            # exclude_self must hold on the folded tail too: ask knn
-            # for one extra neighbor, drop self-pairs, re-rank
-            folded = knn(pts, q, k=k + (1 if exclude_self else 0),
-                         res=KNN_RES, initial_ring=2, point_id="_pid")
-            if exclude_self:
-                folded = folded.filter(F.col("query_id") != F.col("_pid"))
-                wf = Window.partitionBy("query_id").orderBy(
-                    F.asc("dist_m"), F.asc("_pid"))
-                folded = folded.withColumn(
-                    "rank", F.row_number().over(wf)) \
-                    .filter(F.col("rank") <= k)
-            results.append(folded.select(
-                F.col("query_id").alias(left_id),
-                F.col("_pid").alias(right_id), "dist_m", "rank"))
+        q = fold_rows.select(F.col(left_id).alias("query_id"),
+                             F.col("l_lat").alias("lat"),
+                             F.col("l_lon").alias("lon"))
+        res_col = f"cell_r{KNN_RES}"
+        pts = right_base.select(
+            F.col(right_id).alias("_pid"),
+            F.col("r_lat").alias("lat"), F.col("r_lon").alias("lon"))
+        pts = pts.select("*", cell_id_col(F.col("lat"), F.col("lon"),
+                                          KNN_RES).alias(res_col))
+        # exclude_self must hold on the folded tail too: ask knn for
+        # one extra neighbor, drop self-pairs, re-rank
+        folded = knn(pts, q, k=k + (1 if exclude_self else 0),
+                     res=KNN_RES, initial_ring=2, point_id="_pid")
+        if exclude_self:
+            folded = folded.filter(F.col("query_id") != F.col("_pid"))
+            wf = Window.partitionBy("query_id").orderBy(
+                F.asc("dist_m"), F.asc("_pid"))
+            folded = folded.withColumn(
+                "rank", F.row_number().over(wf)) \
+                .filter(F.col("rank") <= k)
+        results.append(folded.select(
+            F.col("query_id").alias(left_id),
+            F.col("_pid").alias(right_id), "dist_m", "rank"))
 
     out = results[0]
     for r in results[1:]:
@@ -1266,8 +1371,9 @@ def knn_join(left: DataFrame, right: DataFrame, k: int,
             c.unpersist()
         except Exception:
             pass
-    right_ml.unpersist()
+    right_long.unpersist()
     return out
+
 
 
 def _block_cell_fn(res: int, family: str):
