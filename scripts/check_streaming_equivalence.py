@@ -22,6 +22,13 @@ Checks (all must hold):
     first-seen == min is exact here, not a luck of scheduling);
   - batch n_dups == 2 exactly for the planted keys, 1 otherwise.
 
+Leg 2 (r5): the watermarked windowed aggregation
+(streaming/ingest.windowed_cell_counts) replayed over the events table
+in event-time order must equal the batch window aggregation exactly —
+ordered replay means the watermark drops nothing, and update-mode
+emissions folded to their last value per (window, cell) are the final
+counts.
+
 Prints one JSON line; exit code 0 iff all checks pass.
 """
 
@@ -105,6 +112,58 @@ def main() -> int:
     dups_ok = (batch["n_dups"].isin((1, 2)).all()
                and len(planted_keys) == n_planted)
 
+    # --- leg 2: watermarked windowed aggregation vs batch twin --------
+    # events replayed in EVENT-TIME ORDER in 4 micro-batches (ordered
+    # replay means the 2-minute watermark never drops a row, so the
+    # streaming result must equal the batch window aggregation
+    # exactly); update-mode emissions are folded to the LAST value per
+    # (window, cell) key.
+    from pbf2json_spark.streaming.ingest import windowed_cell_counts
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "ts", (F.pmod(F.xxhash64("user_id"), F.lit(64))).alias("cell"))
+    ev_pdf = ev.toPandas().sort_values("ts").reset_index(drop=True)
+    wsrc = os.path.join(work, "wsrc")
+    woutp = os.path.join(work, "wout")
+    wck = os.path.join(work, "wck")
+    os.makedirs(wsrc)
+    per_w = (len(ev_pdf) + N_FILES - 1) // N_FILES
+    for i in range(N_FILES):
+        chunk = ev_pdf.iloc[i * per_w:(i + 1) * per_w].copy()
+        chunk["ts"] = chunk["ts"].astype(str)
+        chunk.to_json(os.path.join(wsrc, f"w{i}.json"),
+                      orient="records", lines=True)
+    wstream = (spark.readStream
+               .schema("ts string, cell long")
+               .option("maxFilesPerTrigger", 1)
+               .json(wsrc)
+               .select(F.to_timestamp("ts").alias("ts"), "cell"))
+    wagg = windowed_cell_counts(wstream, window="1 hour",
+                                watermark="2 minutes")
+
+    def wsink(batch_df, epoch_id):
+        batch_df.withColumn("_epoch", F.lit(int(epoch_id))) \
+            .write.mode("append").parquet(os.path.join(woutp, "data"))
+
+    wq = (wagg.writeStream.foreachBatch(wsink)
+          .outputMode("update")
+          .option("checkpointLocation", wck)
+          .trigger(availableNow=True).start())
+    wq.awaitTermination(600)
+
+    wgot = spark.read.parquet(os.path.join(woutp, "data")).toPandas()
+    wgot = wgot.sort_values("_epoch").groupby(
+        ["win_start", "cell"], as_index=False).last()
+    wbatch = windowed_cell_counts(
+        ev, window="1 hour", watermark="2 minutes").toPandas()
+    sk = ["win_start", "cell"]
+    a = wgot[sk + ["n"]].sort_values(sk).reset_index(drop=True)
+    b = wbatch[sk + ["n"]].sort_values(sk).reset_index(drop=True)
+    windows_match = (len(a) == len(b)
+                     and a["win_start"].tolist() == b["win_start"].tolist()
+                     and a["cell"].tolist() == b["cell"].tolist()
+                     and a["n"].tolist() == b["n"].tolist())
+
     result = {
         "sf_dir": SF_DIR,
         "n_docs": len(pdf),
@@ -116,9 +175,13 @@ def main() -> int:
         "one_emission_per_key": bool(one_per_key),
         "reps_match": bool(reps_match),
         "planted_dup_counts_ok": bool(dups_ok),
+        "windowed_events": len(ev_pdf),
+        "windowed_keys": len(b),
+        "windowed_counts_match": bool(windows_match),
     }
     ok = all(result[k] for k in ("keys_match", "one_emission_per_key",
-                                 "reps_match", "planted_dup_counts_ok"))
+                                 "reps_match", "planted_dup_counts_ok",
+                                 "windowed_counts_match"))
     result["equivalent"] = ok
     print(json.dumps(result))
     shutil.rmtree(work, ignore_errors=True)
