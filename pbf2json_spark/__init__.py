@@ -71,13 +71,23 @@ class Engine:
                             strict_parity, salt_hot_refs)
 
     # -- spatial layer ---------------------------------------------------
-    def attach_geo(self, images, res_list=(9, 12)):
+    def attach_geo(self, images, res_list=(9, 12), s2_levels=()):
+        """Derive (lat, lon) + equirect cell columns — and, with
+        s2_levels, quad-sphere cell columns — in one Arrow pass."""
         from .operators.spatial import attach_geo
-        return attach_geo(images, res_list)
+        return attach_geo(images, res_list, s2_levels=s2_levels)
 
-    def point_in_polygon(self, points, polygons, res=9, point_id="image_id"):
-        from .operators.spatial import point_in_polygon
-        return point_in_polygon(points, polygons, res=res, point_id=point_id)
+    def point_in_polygon(self, points, polygons, res=9, point_id="image_id",
+                         family="equirect", bucketed=False):
+        """PIP hits; family='s2' uses quad-sphere coverings, and
+        bucketed=True routes to the fully-distributed variant for
+        polygon sides too large to broadcast (the path the dim-side
+        guard's error message points at)."""
+        from .operators.spatial import (point_in_polygon,
+                                        point_in_polygon_bucketed)
+        op = point_in_polygon_bucketed if bucketed else point_in_polygon
+        return op(points, polygons, res=res, point_id=point_id,
+                  family=family)
 
     def knn(self, points, queries, k, res=12, point_id="image_id", **kw):
         from .operators.spatial import knn

@@ -275,6 +275,33 @@ _S2_SCRATCH = ("_s2x", "_s2y", "_s2z", "_s2u", "_s2v",
                "_s2i", "_s2j", "_s2si", "_s2sj", "_s2si_n", "_s2sj_n")
 
 
+_FST_SRC_KEY = "pbf2json_s2_src"
+
+
+def check_fst_source(df, lat_col: str, lon_col: str, f: str = "_s2f"):
+    """Refuse to reuse pre-attached (face, s, t) columns derived from a
+    DIFFERENT coordinate pair (ADVICE r5): with_s2_fst stamps the source
+    column names into the face column's metadata; any consumer about to
+    reuse fst instead of re-deriving calls this first.  Frames whose fst
+    carries no stamp (hand-built, or metadata stripped by an exotic
+    rewrite) fall back to the documented staleness caller contract —
+    reuse is allowed, exactly as before the stamp existed."""
+    try:
+        meta = df.schema[f].metadata or {}
+    except KeyError:
+        return
+    src = meta.get(_FST_SRC_KEY)
+    if src is not None and src != f"{lat_col}|{lon_col}":
+        got = src.split("|")
+        raise ValueError(
+            f"pre-attached s2 fst columns on this frame were derived from "
+            f"({got[0]!r}, {got[1]!r}) but this call asked for "
+            f"({lat_col!r}, {lon_col!r}) — reusing them would key every "
+            f"downstream cell on the wrong coordinates.  Drop "
+            f"_s2f/_s2s/_s2t (or re-run attach_s2 / with_s2_fst over the "
+            f"intended columns) first.")
+
+
 def _guard_s2_scratch(df, extra=()):
     """The with_s2_* builders create intermediates under fixed _s2*
     names via df.select("*", alias); an input frame already carrying
@@ -331,7 +358,15 @@ def with_s2_fst(df, lat_col: str, lon_col: str,
                        F.when(z >= 0.0, F.lit(4)).otherwise(F.lit(5)))) \
             .cast("long")
 
-    df = df.select("*", face.alias(f))
+    # source-column stamp (ADVICE r5): consumers that REUSE fst columns
+    # (with_s2_cell/with_s2_cells, knn family='s2') verify at reuse time
+    # that the requested lat/lon pair is the one fst was derived from —
+    # presence-only detection silently keyed cells on the WRONG
+    # coordinate pair when a frame carried fst from a different pair
+    # (e.g. attach_s2 over pickup coords, then a call over dropoff).
+    # Column metadata survives projections and parquet round-trips.
+    df = df.select("*", face.alias(
+        f, metadata={_FST_SRC_KEY: f"{lat_col}|{lon_col}"}))
     fc = F.col(f)
     dom = _s2_choose(fc, [x, -x, y, -y, z, -z])
     df = df.select("*",
@@ -427,6 +462,7 @@ def with_s2_cells(df, lat_col: str, lon_col: str, levels,
     reused_fst = {"_s2f", "_s2s", "_s2t"} <= set(df.columns)
     if reused_fst:
         _guard_s2_scratch(df)
+        check_fst_source(df, lat_col, lon_col)
     else:
         df = with_s2_fst(df, lat_col, lon_col)
     df = df.select("*", s2_cells_from_fst(
@@ -467,6 +503,7 @@ def with_s2_cell(df, lat_col: str, lon_col: str, level: int,
     reused_fst = {"_s2f", "_s2s", "_s2t"} <= set(df.columns)
     if reused_fst:
         _guard_s2_scratch(df)  # scratch names other than fst still clash
+        check_fst_source(df, lat_col, lon_col)
     else:
         df = with_s2_fst(df, lat_col, lon_col)
     df = df.select(

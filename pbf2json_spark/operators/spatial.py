@@ -710,6 +710,11 @@ def knn(points: DataFrame, queries: DataFrame, k: int,
     spark0 = points.sparkSession
     fst_cols = ["_s2f", "_s2s", "_s2t"]
     have_fst = family == "s2" and set(fst_cols) <= set(points.columns)
+    if have_fst:
+        # refuse fst derived from a different coordinate pair (the knn
+        # point side is contractually (point_id, lat, lon)) — ADVICE r5
+        from ..functions.cellsql import check_fst_source
+        check_fst_source(points, "lat", "lon")
     pts = points.select(
         F.col(point_id), F.col("lat").alias("p_lat"),
         F.col("lon").alias("p_lon"),
@@ -750,11 +755,15 @@ def knn(points: DataFrame, queries: DataFrame, k: int,
     # ~30 B/row and survives well past the ceiling; the thing the
     # guard protects is the per-query driver loop below it.
     remaining = queries.select("query_id", "lat", "lon").toPandas()
-    assert len(remaining) <= KNN_MAX_QUERIES, (
-        f"knn with {len(remaining)} queries would build a driver-side "
-        f"disk table per query per round (queries are the dim side by "
-        f"design; ceiling {KNN_MAX_QUERIES}) — batch the query set, or "
-        f"use knn_join (both sides distributed, no driver tables)")
+    if len(remaining) > KNN_MAX_QUERIES:
+        # ValueError, not assert: python -O strips asserts, which would
+        # silently restore the unbounded per-query driver loop this
+        # guard exists to prevent (ADVICE r5)
+        raise ValueError(
+            f"knn with {len(remaining)} queries would build a driver-side "
+            f"disk table per query per round (queries are the dim side by "
+            f"design; ceiling {KNN_MAX_QUERIES}) — batch the query set, or "
+            f"use knn_join (both sides distributed, no driver tables)")
     _mark("collect_queries")
     n_queries0 = max(len(remaining), 1)
     spark = points.sparkSession

@@ -115,7 +115,45 @@ def test_knn_query_side_guard(spark):
     orig = sp.KNN_MAX_QUERIES
     sp.KNN_MAX_QUERIES = monkey_max
     try:
-        with _p.raises(AssertionError, match="batch the query set"):
+        with _p.raises(ValueError, match="batch the query set"):
             sp.knn(pts, queries, k=3, res=sp.KNN_RES)
     finally:
         sp.KNN_MAX_QUERIES = orig
+
+
+def test_fst_source_mismatch_refused(spark):
+    """fst columns derived from one coordinate pair must not be reused
+    for a different pair (ADVICE r5 medium): with_s2_fst stamps the
+    source columns into the face column's metadata, turning the silent
+    wrong-cells path into a loud ValueError at plan-build time."""
+    import pytest
+
+    from pbf2json_spark.functions.cellsql import with_s2_cell, with_s2_cells
+    df = spark.range(5).select(
+        (F.rand(1) * 100 - 50).alias("pick_lat"),
+        (F.rand(2) * 300 - 150).alias("pick_lon"),
+        (F.rand(3) * 100 - 50).alias("lat"),
+        (F.rand(4) * 300 - 150).alias("lon"))
+    once = with_s2_cell(df, "pick_lat", "pick_lon", 9, "c9", keep_fst=True)
+    with pytest.raises(ValueError, match="derived from"):
+        with_s2_cell(once, "lat", "lon", 9, "c9b")
+    with pytest.raises(ValueError, match="derived from"):
+        with_s2_cells(once, "lat", "lon", (9, 12), "cells")
+    # the matching pair still reuses (and the cells stay correct)
+    ok = with_s2_cell(once, "pick_lat", "pick_lon", 12, "c12")
+    got = ok.select("pick_lat", "pick_lon", "c12").toPandas()
+    want = cx.s2_cell_id(got["pick_lat"].to_numpy(),
+                         got["pick_lon"].to_numpy(), 12)
+    assert got["c12"].to_numpy().tolist() == want.tolist()
+
+    # knn's point side is contractually (lat, lon): fst from another
+    # pair must be refused before any job runs
+    from pbf2json_spark.operators import spatial as sp
+    pts = once.select(
+        F.monotonically_increasing_id().cast("string").alias("image_id"),
+        "lat", "lon", "_s2f", "_s2s", "_s2t")
+    q = spark.range(1).select(F.lit("q0").alias("query_id"),
+                              F.lit(0.0).alias("lat"),
+                              F.lit(0.0).alias("lon"))
+    with pytest.raises(ValueError, match="derived from"):
+        sp.knn(pts, q, k=1, family="s2")
