@@ -29,6 +29,11 @@ ordered replay means the watermark drops nothing, and update-mode
 emissions folded to their last value per (window, cell) are the final
 counts.
 
+Leg 3 (r6): the watermark DROP path — planted late rows whose windows
+closed below the watermark must be dropped (and a late-but-open-window
+control row kept), matching a batch twin filtered by the explicit
+per-batch lateness rule.  Fails if a too-late row silently lands.
+
 Prints one JSON line; exit code 0 iff all checks pass.
 """
 
@@ -164,6 +169,109 @@ def main() -> int:
                      and a["cell"].tolist() == b["cell"].tolist()
                      and a["n"].tolist() == b["n"].tolist())
 
+    # --- leg 3: the watermark DROP path (VERDICT r5 missing #1) -------
+    # Leg 2 replays in event-time order, so its watermark never drops a
+    # row.  This leg PLANTS late data: batches advance event time by
+    # hours, then later batches re-emit rows whose 1-hour window closed
+    # far below the watermark — Spark MUST drop those — plus a control
+    # row that is late relative to max-seen event time but whose window
+    # is still open — Spark MUST keep it.  The batch twin applies the
+    # explicit lateness rule: the watermark during batch i is
+    # max(event time through batch i-1) - delay, and a row is kept iff
+    # its window END is above that watermark.  All gaps are hours vs a
+    # 2-minute delay, so <=-vs-< eviction edge cases cannot flip the
+    # expectation.
+    import pandas as pd
+
+    def _mk(batch, specs):
+        rows = []
+        for h, m, cell, n in specs:
+            for i in range(n):
+                rows.append({"ts": f"2024-01-01 {h:02d}:{m:02d}:{i % 60:02d}",
+                             "cell": cell, "_b": batch})
+        return rows
+
+    late_batches = [
+        # b0: hours 0-1, max ts 01:20 (everything on time)
+        _mk(0, [(0, 10, 1, 5), (0, 40, 2, 4), (1, 20, 1, 6)]),
+        # b1: jump to hour 3 (advances the watermark to 03:23 after
+        # this batch) + CONTROL late rows: ts 01:10 < max-seen 01:20,
+        # but window [01:00, 02:00) is still open vs wm 01:18 -> KEPT
+        _mk(1, [(3, 25, 3, 5), (1, 10, 2, 3)]),
+        # b2: wm is now 03:23 -> hour-0 rows (window end 01:00) DROPPED
+        _mk(2, [(0, 15, 1, 4), (3, 40, 3, 2)]),
+        # b3: wm 03:38 -> hour-1 rows (window end 02:00) DROPPED
+        _mk(3, [(1, 45, 2, 3), (4, 5, 1, 2)]),
+    ]
+    lsrc = os.path.join(work, "lsrc")
+    loutp = os.path.join(work, "lout")
+    lck = os.path.join(work, "lck")
+    os.makedirs(lsrc)
+    import time as _t
+    for i, rows in enumerate(late_batches):
+        p = os.path.join(lsrc, f"l{i}.json")
+        pd.DataFrame(rows)[["ts", "cell"]].to_json(
+            p, orient="records", lines=True)
+        os.utime(p, (_t.time() + i, _t.time() + i))  # pin batch order
+
+    lstream = (spark.readStream
+               .schema("ts string, cell long")
+               .option("maxFilesPerTrigger", 1)
+               .json(lsrc)
+               .select(F.to_timestamp("ts").alias("ts"), "cell"))
+    lagg = windowed_cell_counts(lstream, window="1 hour",
+                                watermark="2 minutes")
+
+    def lsink(batch_df, epoch_id):
+        batch_df.withColumn("_epoch", F.lit(int(epoch_id))) \
+            .write.mode("append").parquet(os.path.join(loutp, "data"))
+
+    lq = (lagg.writeStream.foreachBatch(lsink)
+          .outputMode("update")
+          .option("checkpointLocation", lck)
+          .trigger(availableNow=True).start())
+    lq.awaitTermination(600)
+
+    lgot = spark.read.parquet(os.path.join(loutp, "data")).toPandas()
+    lgot = lgot.sort_values("_epoch").groupby(
+        ["win_start", "cell"], as_index=False).last()
+
+    # batch twin with the explicit per-batch lateness rule
+    all_rows = pd.DataFrame([r for b in late_batches for r in b])
+    all_rows["ts"] = pd.to_datetime(all_rows["ts"])
+    all_rows["win_start"] = all_rows["ts"].dt.floor("h")
+    all_rows["win_end"] = all_rows["win_start"] + pd.Timedelta(hours=1)
+    delay = pd.Timedelta(minutes=2)
+    wm = pd.Timestamp.min
+    keep = []
+    for bi in sorted(all_rows["_b"].unique()):
+        m = all_rows["_b"] == bi
+        keep.append(all_rows[m & (all_rows["win_end"] > wm)])
+        wm = max(wm, all_rows.loc[m, "ts"].max() - delay)
+    kept = pd.concat(keep)
+    twin = kept.groupby(["win_start", "cell"]).size() \
+        .rename("n").reset_index()
+    naive = all_rows.groupby(["win_start", "cell"]).size() \
+        .rename("n").reset_index()
+    n_late_expected = len(all_rows) - len(kept)
+
+    key3 = ["win_start", "cell"]
+    a3 = lgot[key3 + ["n"]].sort_values(key3).reset_index(drop=True)
+    b3 = twin.sort_values(key3).reset_index(drop=True)
+    a3["win_start"] = pd.to_datetime(a3["win_start"])
+    late_equivalent = (len(a3) == len(b3)
+                       and a3["win_start"].tolist() == b3["win_start"].tolist()
+                       and a3["cell"].tolist() == b3["cell"].tolist()
+                       and a3["n"].tolist() == b3["n"].tolist())
+    # sensitivity: had the late rows silently landed, the result would
+    # NOT equal the twin (the planted keys differ between naive/twin),
+    # so late_equivalent genuinely exercises the drop path
+    drop_sensitive = (n_late_expected > 0
+                      and not twin.equals(naive))
+    ctrl = a3[(a3["win_start"] == pd.Timestamp("2024-01-01 01:00:00"))
+              & (a3["cell"] == 2)]["n"]
+    late_control_landed = (len(ctrl) == 1 and int(ctrl.iloc[0]) == 3)
+
     result = {
         "sf_dir": SF_DIR,
         "n_docs": len(pdf),
@@ -178,10 +286,17 @@ def main() -> int:
         "windowed_events": len(ev_pdf),
         "windowed_keys": len(b),
         "windowed_counts_match": bool(windows_match),
+        "late_rows_planted": int(n_late_expected),
+        "late_rows_dropped": int(n_late_expected) if late_equivalent else 0,
+        "late_equivalent": bool(late_equivalent),
+        "late_drop_sensitive": bool(drop_sensitive),
+        "late_control_landed": bool(late_control_landed),
     }
     ok = all(result[k] for k in ("keys_match", "one_emission_per_key",
                                  "reps_match", "planted_dup_counts_ok",
-                                 "windowed_counts_match"))
+                                 "windowed_counts_match",
+                                 "late_equivalent", "late_drop_sensitive",
+                                 "late_control_landed"))
     result["equivalent"] = ok
     print(json.dumps(result))
     shutil.rmtree(work, ignore_errors=True)

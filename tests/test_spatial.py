@@ -545,7 +545,9 @@ def test_knn_join_exact_vs_brute(spark):
     left = spark.createDataFrame(_pd.DataFrame(
         {"left_id": lids, "lat": llat, "lon": llon}))
 
-    got = sp.knn_join(left, right, k=K).toPandas()
+    # early_fold_min=0 forces the distributed ladder rounds (the
+    # default would skip the ladder at this sub-threshold size)
+    got = sp.knn_join(left, right, k=K, early_fold_min=0).toPandas()
     assert len(got) == NL * K
     for li in range(NL):
         d = gk.haversine_m(llat[li], llon[li], rlat, rlon)
@@ -553,7 +555,8 @@ def test_knn_join_exact_vs_brute(spark):
         sub = got[got["left_id"] == lids[li]].sort_values("rank")
         assert sub["right_id"].tolist() == rids[order].tolist(), lids[li]
 
-    # self-join with exclude_self: nearest OTHER row, never itself
+    # self-join with exclude_self on the DEFAULT path (ladder skip ->
+    # chunkable knn fold): nearest OTHER row, never itself
     sr = spark.createDataFrame(_pd.DataFrame(
         {"right_id": rids[:300], "lat": rlat[:300], "lon": rlon[:300]}))
     sl = sr.selectExpr("right_id as left_id", "lat", "lon")
@@ -665,10 +668,70 @@ def test_knn_join_exact_polar(spark):
         {"right_id": rids, "lat": rlat, "lon": rlon}))
     left = spark.createDataFrame(_pd.DataFrame(
         {"left_id": lids, "lat": llat, "lon": llon}))
-    got = sp.knn_join(left, right, k=K).toPandas()
+    got = sp.knn_join(left, right, k=K, early_fold_min=0).toPandas()
     assert len(got) == NL * K
     for li in range(NL):
         d = gk.haversine_m(llat[li], llon[li], rlat, rlon)
         order = np.lexsort((rids, d))[:K]
         sub = got[got["left_id"] == lids[li]].sort_values("rank")
         assert sub["right_id"].tolist() == rids[order].tolist(), lids[li]
+
+
+def test_knn_join_fold_tail_chunks_past_knn_guard(spark):
+    """A ladder-exhausted fold LARGER than knn's query-side ceiling must
+    complete (in hash-chunked knn batches), not inherit the guard's
+    ValueError after every distributed round already ran (VERDICT r5
+    wrong #1 / ADVICE r5).  Single-rung ladder + globally sparse points
+    forces every left row through the fold."""
+    import pandas as _pd
+    rng = np.random.default_rng(33)
+    NR, NL, K = 120, 60, 2
+    # spread right rows ~degrees apart: a level-16 3x3 window (~2.4 km)
+    # can never certify k=2, so every left row exhausts the one-rung
+    # ladder immediately
+    rlat = rng.uniform(-60, 60, NR)
+    rlon = rng.uniform(-170, 170, NR)
+    llat = rng.uniform(-60, 60, NL)
+    llon = rng.uniform(-170, 170, NL)
+    rids = np.array([f"r{i:05d}" for i in range(NR)])
+    lids = np.array([f"l{i:05d}" for i in range(NL)])
+    right = spark.createDataFrame(_pd.DataFrame(
+        {"right_id": rids, "lat": rlat, "lon": rlon}))
+    left = spark.createDataFrame(_pd.DataFrame(
+        {"left_id": lids, "lat": llat, "lon": llon}))
+    orig = sp.KNN_MAX_QUERIES
+    sp.KNN_MAX_QUERIES = 16          # fold of 60 -> 5 chunks
+    try:
+        got = sp.knn_join(left, right, k=K, levels=(16,),
+                          early_fold_min=0).toPandas()
+    finally:
+        sp.KNN_MAX_QUERIES = orig
+    assert len(got) == NL * K
+    for li in range(NL):
+        d = gk.haversine_m(llat[li], llon[li], rlat, rlon)
+        order = np.lexsort((rids, d))[:K]
+        sub = got[got["left_id"] == lids[li]].sort_values("rank")
+        assert sub["right_id"].tolist() == rids[order].tolist(), lids[li]
+
+
+def test_knn_join_releases_internal_blocks(spark):
+    """knn_join must release every call-internal persisted RDD (round
+    tops/remainings, right key table, fold outputs) once its result is
+    materialized — only the result's own blocks survive (ADVICE r5:
+    checkpoint blocks accumulated per call in long sessions)."""
+    import pandas as _pd
+    from pbf2json_spark.operators.dedup import _persistent_rdd_ids
+    rng = np.random.default_rng(7)
+    N = 400
+    pdf = _pd.DataFrame({"right_id": [f"r{i}" for i in range(N)],
+                         "lat": rng.normal(40, 3, N),
+                         "lon": rng.normal(-3, 4, N)})
+    right = spark.createDataFrame(pdf)
+    left = right.selectExpr("right_id as left_id", "lat", "lon")
+    before = _persistent_rdd_ids(spark)
+    out = sp.knn_join(left, right, k=3, exclude_self=True,
+                      early_fold_min=0)
+    assert out.count() == N * 3
+    delta = _persistent_rdd_ids(spark) - before
+    # the result's own checkpoint is the only surviving registration
+    assert len(delta) <= 1, delta
