@@ -1141,7 +1141,9 @@ def _exit_bound_levels_udf(levels, ring: int):
 
 def knn_join(left: DataFrame, right: DataFrame, k: int,
              left_id: str = "left_id", right_id: str = "right_id",
-             levels=(16, 14, 12, 10, 8, 6, 4), probe_level: int = 9,
+             levels=(20, 18, 16, 14, 12, 10, 8, 6, 4),
+             probe_level: int = 9,  # unused since r6 (kept for API
+             # compat: the W table measures every ladder level exactly)
              margin: float = 4.0, ring: int = 1,
              tail_fold_frac: float = 0.01,
              early_fold_min: int = 1024,
@@ -1160,14 +1162,22 @@ def knn_join(left: DataFrame, right: DataFrame, k: int,
     single global join level dies on zipfian geo data — a city-center
     cell holding 10^4+ right rows would hand every left row in it a
     10^5-candidate 3x3 window (candidate volume ~ occupancy^2 per hot
-    cell).  Instead, one bounded density aggregate at `probe_level`
-    (<= 2*4^probe cells regardless of corpus size, the same presizing
-    knn() uses driver-side — here it stays a DataFrame join) gives
-    each left row the FINEST ladder level whose expected 3x3 window
-    holds ~margin*k right rows: dense rows join at level 12 (small
-    windows), sparse rows start coarse.  Expected candidates per left
-    row are ~margin*k at EVERY density, so hot cells cost the same
-    per row as empty ocean.
+    cell).  Instead, a fully distributed W table gives the EXACT
+    3x3-window occupancy of every (ladder level, cell) — built from
+    one cell-scale count table by per-level parent folds + disk
+    scatter, no driver collect, no density model — and each left row
+    starts at the FINEST ladder level whose MEASURED window holds >=
+    margin*k right rows: dense rows join fine (small windows), sparse
+    rows start coarse, and a sparse row NEXT to a hotspot starts fine
+    too, because the hotspot is visible in its windows.  Exactness of
+    the measurement is the survival property: estimator rules
+    (own-cell counts, or coarse-rung neighborhoods extrapolated under
+    a uniform-density assumption) were each measured dying on zipfian
+    data, where peak density exceeds the rung mean ~90x (1.07e9
+    candidate rows at 300k, 90 GB of window-sort spill).  Measured
+    windows bound candidates per row to < 16*margin*k at EVERY
+    density (next-coarser-rung factor at spacing 2), so hot cells
+    cost the same per row as empty ocean.
 
     Plan per round (all distributed; rows at DIFFERENT levels share
     one join because a cell id embeds its level in bits 54+):
@@ -1239,6 +1249,7 @@ def knn_join(left: DataFrame, right: DataFrame, k: int,
     fold_rows = None
     n_rem = 0
     import time as _time
+    _tp0 = _time.perf_counter()
     run_ladder = n_left > thr_fold
     if not run_ladder and n_left > 0:
         # LADDER SKIP (r6): with the whole left side already under the
@@ -1261,33 +1272,130 @@ def knn_join(left: DataFrame, right: DataFrame, k: int,
                               for L in levels])
         right_long = right_base.select(
             "*", F.explode(cells_arr).alias("_c")).persist()
-        # bounded density probe -> per-left-row start level (finest
-        # level whose expected 3x3 window >= margin*k; coarsest if
-        # none)
-        dens = right_base.select(
-            cell_id_col(F.col("r_lat"), F.col("r_lon"), probe_level)
-            .alias("_cp")).groupBy("_cp").count()
-        left0 = left_raw.select(
-            "*", cell_id_col(F.col("l_lat"), F.col("l_lon"), probe_level)
-            .alias("_cp")) \
-            .join(dens, "_cp", "left") \
-            .withColumn("_cnt", F.coalesce(F.col("count"), F.lit(0))) \
-            .drop("_cp", "count")
-        start = F.lit(n_lvls - 1)
-        for idx in range(n_lvls - 2, -1, -1):
-            L = levels[idx]
-            # expected window count = cnt * 9 / 4^(L - probe)
-            w_cells = float((2 * ring + 1) ** 2)
-            thr = margin * k * (4.0 ** (L - probe_level)) / w_cells
-            start = F.when(F.col("_cnt") >= thr,
-                           F.lit(idx)).otherwise(start)
-        # LAZY checkpoint: round 0's count job materializes these
-        # blocks transitively — no standalone materialization job
-        remaining = left0.select(F.col(left_id), "l_lat", "l_lon",
-                                 start.alias("_li")) \
+        # W TABLE — exact 3x3-window occupancy per (level, cell), built
+        # fully distributed from the cell-scale count table: one N-row
+        # groupBy at the finest ladder level, then per-level parent
+        # folds + ring-1 disk scatter (all CELL-scale shuffles).  No
+        # driver collect, no density extrapolation: two cheaper start
+        # rules were measured failing on the zipfian 600k self-join
+        # first — (a) the r5 own-probe-cell estimate under-certifies
+        # sparse rows (an extra round of job floors for ~17% of the
+        # corpus), and (b) a rung-ladder probe (rung-9 neighborhood
+        # counts extrapolated to fine levels under a uniform-density
+        # assumption, knn()'s driver rule) underestimates hotspot peak
+        # density ~90x: 1.07e9 actual candidate rows at 300k where the
+        # target was ~5e6, 90 GB of window-sort spill.  Exact per-level
+        # windows make the start level PRICED: the chosen window really
+        # holds >= margin*k right rows, and by window nesting the first
+        # satisfying level is the finest — cost per left row is bounded
+        # at EVERY density by the next-coarser rung's factor (16x at
+        # the spacing-2 default).
+        # the W join only needs SOME per-(level, cell) key that both
+        # sides derive identically, so it skips the morton byte-table
+        # codec for plain shift-or packing: the 9-level morton form
+        # (72 element_at per disk, x9 levels, x both sides) was
+        # measured costing ~25 s of DRIVER planning/codegen gaps at
+        # 300k — more than the probe's entire cluster-side work
+        def _pk(L, i, j):
+            return F.shiftleft(F.lit(int(L)).cast("long"), 54) \
+                .bitwiseOR(F.shiftleft(i.cast("long"), 27)) \
+                .bitwiseOR(j.cast("long"))
+
+        mk = float(margin * k)
+        adj = F.lit(1 if exclude_self else 0)
+        iF, jF = cell_ij_cols(F.col("r_lat"), F.col("r_lon"), finest)
+        cnt_f = right_base.select(iF.alias("_i"), jF.alias("_j")) \
+            .groupBy("_i", "_j").count()
+        # ONE posexplode emits every finest cell's packed ancestor key
+        # at every ladder level; ONE groupBy then counts all (level,
+        # cell) pairs at once.  (The first cut ran 9 per-level groupBy
+        # branches — 9 parallel stages AND 9 plan subtrees whose
+        # driver-side planning gaps outweighed the cluster work.)
+        anc = F.array(*[
+            _pk(L, F.shiftright(F.col("_i"), finest - L),
+                F.shiftright(F.col("_j"), finest - L))
+            for L in levels])
+        cnt_all = cnt_f.select(F.explode(anc).alias("_ck"), "count") \
+            .groupBy("_ck").agg(F.sum("count").alias("_n"))
+        # ring-1 scatter off the DECODED key (shifts, no codec): the
+        # 3x3 window sum at cell x = sum over cells whose disk holds x
+        cn = cnt_all.select(
+            "_n", F.shiftright(F.col("_ck"), 54).alias("_L"),
+            F.shiftright(F.col("_ck"), 27)
+             .bitwiseAND(F.lit((1 << 27) - 1)).alias("_ic"),
+            F.col("_ck").bitwiseAND(F.lit((1 << 27) - 1)).alias("_jc"))
+        nlat_c = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_L AS INT))")
+        nlon_c = F.expr("shiftleft(CAST(2 AS BIGINT), CAST(_L AS INT))")
+        nbrs = []
+        for di in (-1, 0, 1):
+            for dj in (-1, 0, 1):
+                ii = F.col("_ic") + F.lit(di)
+                jj = F.pmod(F.col("_jc") + F.lit(dj), nlon_c)
+                key = F.shiftleft(F.col("_L"), 54) \
+                    .bitwiseOR(F.shiftleft(ii, 27)).bitwiseOR(jj)
+                nbrs.append(F.when((ii >= 0) & (ii < nlat_c), key))
+        wtab = cn.select(F.explode(F.array(*nbrs)).alias("_c"), "_n") \
+            .filter(F.col("_c").isNotNull()) \
+            .groupBy("_c").agg(F.sum("_n").alias("_w"))
+        # prune entries that can never set a start level (_w too small
+        # to satisfy), EXCEPT at the coarsest level, which also feeds
+        # the _wmax >= k coarsest-fallback/sentinel decision — the
+        # pruned join side is small enough for AQE to broadcast, so
+        # the left explode never shuffles for the join
+        wtab = wtab.filter(
+            (F.col("_w") - adj >= mk)
+            | (F.shiftright(F.col("_c"), 54) == levels[-1]))
+
+        # per-left-row start level = FINEST ladder level whose measured
+        # window holds >= margin*k rights (min posexplode index, valid
+        # by window-nesting monotonicity); rows that cannot reach k
+        # even at the coarsest level take the sentinel and fold into
+        # knn()'s exact tail — no round could ever certify them.
+        liF, ljF = cell_ij_cols(F.col("l_lat"), F.col("l_lon"), finest)
+        lcells = F.array(*[
+            _pk(L, F.shiftright(F.col("_i"), finest - L),
+                F.shiftright(F.col("_j"), finest - L))
+            for L in levels])
+        lx = left_raw.select(F.col(left_id), "l_lat", "l_lon",
+                             liF.alias("_i"), ljF.alias("_j")) \
+            .select(F.col(left_id), "l_lat", "l_lon",
+                    F.posexplode(lcells).alias("_lx", "_c"))
+        ag = lx.join(wtab, "_c", "left") \
+            .withColumn("_wv", F.coalesce(F.col("_w"), F.lit(0)) - adj) \
+            .groupBy(left_id).agg(
+                F.first("l_lat").alias("l_lat"),
+                F.first("l_lon").alias("l_lon"),
+                F.min(F.when(F.col("_wv") >= mk, F.col("_lx")))
+                 .alias("_si"),
+                F.max("_wv").alias("_wmax"))
+        start = F.coalesce(
+            F.col("_si"),
+            F.when(F.col("_wmax") >= k, F.lit(n_lvls - 1)),
+            F.lit(n_lvls))
+        # LAZY checkpoint: the histogram job below materializes these
+        # blocks AND hands back the active-level set, so each round's
+        # plan only contains Generate branches for levels that hold
+        # rows (a 13-branch every-level union was measured costing
+        # ~5 s/round of empty partition scans at 128 partitions)
+        labeled = ag.select(F.col(left_id), "l_lat", "l_lon",
+                            start.cast("int").alias("_li")) \
             .localCheckpoint(eager=False)
+        remaining = labeled.filter(F.col("_li") < n_lvls)
+        fold_rows = labeled.filter(F.col("_li") >= n_lvls)
         bound_udf = _exit_bound_levels_udf(levels, ring)
+        hist = {int(r["_li"]): int(r["count"])
+                for r in labeled.groupBy("_li").count().collect()}
+        active = {i for i in hist if i < n_lvls}
+        if trace is not None:
+            trace["probe"] = {
+                "sec": round(_time.perf_counter() - _tp0, 2),
+                "start_hist": {
+                    (levels[i] if i < n_lvls else "fold"): hist[i]
+                    for i in sorted(hist)}}
     for _round in range(n_lvls if run_ladder else 0):
+        if not active:
+            n_rem = 0
+            break
         _t0 = _time.perf_counter()
         i, j = cell_ij_cols(F.col("l_lat"), F.col("l_lon"), finest)
         base = remaining.select("*", i.alias("_if"), j.alias("_jf"))
@@ -1305,6 +1413,8 @@ def knn_join(left: DataFrame, right: DataFrame, k: int,
         # is why 1 stays the default (see BENCH notes).
         parts = []
         for idx, L in enumerate(levels):
+            if idx not in active:
+                continue
             sh = finest - L
             if ring == 1:
                 arm = disk_cells_col(F.shiftright(F.col("_if"), sh),
@@ -1341,38 +1451,39 @@ def knn_join(left: DataFrame, right: DataFrame, k: int,
                   .withColumn("rank", F.row_number().over(w)) \
                   .filter(F.col("rank") <= k) \
                   .localCheckpoint(eager=False)
+        # ONE left-join against the round's stats decides done/unsat:
+        # a two-branch shape (ok-filter union leftanti) referenced the
+        # stats aggregate twice, and with the lazy top checkpoint the
+        # two branches race to compute the join+window partitions
+        # inside the same materializing job — the single-path join
+        # keeps the expensive round plan evaluated exactly once.
+        # Rows with ZERO candidates have no stats row (n_found null)
+        # and fall into unsat via the isNull arm.
         stats = top.groupBy(left_id).agg(
             F.max("rank").alias("n_found"),
-            F.max("dist_m").alias("kth_dist"),
-            F.first("l_lat").alias("l_lat"),
-            F.first("l_lon").alias("l_lon"),
-            F.first("_li").alias("_li"))
-        stats = stats.withColumn(
-            "_ok", (F.col("n_found") == k)
+            F.max("dist_m").alias("kth_dist"))
+        j = remaining.join(stats, left_id, "left")
+        ok = (F.col("n_found") == k) \
             & (F.col("kth_dist") <= bound_udf(
-                F.col("l_lat"), F.col("l_lon"), F.col("_li"))))
-        done_ids = stats.filter("_ok").select(left_id)
+                F.col("l_lat"), F.col("l_lon"), F.col("_li")))
+        done_ids = j.filter(ok).select(left_id)
         results.append(top.join(done_ids, left_id, "leftsemi")
                        .select(left_id, right_id, "dist_m", "rank"))
-        # unsatisfied: rows seen-but-not-ok, plus rows with ZERO
-        # candidates this round (no stats row at all)
-        unsat = stats.filter(~F.col("_ok")).select(
-            F.col(left_id), "l_lat", "l_lon", "_li") \
-            .unionByName(remaining.join(stats.select(left_id), left_id,
-                                        "leftanti")
-                         .select(F.col(left_id), "l_lat", "l_lon",
-                                 "_li"))
+        unsat = j.filter(F.col("n_found").isNull() | ~ok) \
+            .select(F.col(left_id), "l_lat", "l_lon", "_li")
         exhausted = unsat.filter(F.col("_li") >= n_lvls - 1)
         fold_rows = exhausted if fold_rows is None else \
             fold_rows.unionByName(exhausted)
-        # the count below is THE round barrier: it materializes this
-        # round's remaining AND (transitively, through stats) the
-        # round's top-k blocks in one job — previously three jobs
-        # (eager top checkpoint, eager remaining checkpoint, count)
         remaining = unsat.filter(F.col("_li") < n_lvls - 1) \
             .withColumn("_li", F.col("_li") + 1) \
             .localCheckpoint(eager=False)
-        n_rem = remaining.count()
+        # THE round barrier: one histogram job materializes this
+        # round's remaining AND (transitively, through stats) the
+        # round's top-k blocks, and returns the next active-level set
+        hist = {int(r["_li"]): int(r["count"])
+                for r in remaining.groupBy("_li").count().collect()}
+        active = set(hist)
+        n_rem = sum(hist.values())
         if trace is not None:
             trace[f"round{_round}"] = {
                 "sec": round(_time.perf_counter() - _t0, 2),
@@ -1401,6 +1512,7 @@ def knn_join(left: DataFrame, right: DataFrame, k: int,
         n_fold = fold_rows.count()
     else:
         n_fold = n_left if fold_rows is not None else 0
+    _tf0 = _time.perf_counter()
     if n_fold:
         # sparse-region tail: exact fold into the ladder kNN.  knn's
         # query side is driver-collected and refuses more than
@@ -1439,6 +1551,9 @@ def knn_join(left: DataFrame, right: DataFrame, k: int,
             results.append(folded.select(
                 F.col("query_id").alias(left_id),
                 F.col("_pid").alias(right_id), "dist_m", "rank"))
+    if trace is not None:
+        trace["fold"] = {"sec": round(_time.perf_counter() - _tf0, 2),
+                         "rows": int(n_fold)}
 
     if not results:
         # empty left side: an empty result frame with the input id
