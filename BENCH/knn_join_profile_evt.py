@@ -55,12 +55,14 @@ def main():
 
     pts = geo.selectExpr("point_id as right_id", "lat", "lon")
     left = geo.selectExpr("point_id as left_id", "lat", "lon")
-    levels = tuple(range(16, 3, -spacing))
+    # spacing=0 -> the operator's default ladder
+    lkw = {} if spacing == 0 else \
+        {"levels": tuple(range(16, 3, -spacing))}
 
     t0 = time.perf_counter()
     tr = {}
     out = knn_join(left, pts, k=k, exclude_self=True, trace=tr,
-                   levels=levels, margin=margin)
+                   margin=margin, **lkw)
     n_out = out.count()
     wall = time.perf_counter() - t0
     t_mark = time.time() * 1000  # everything before this is the run
@@ -98,7 +100,7 @@ def main():
                     "t0": round((sub - (t_mark - wall * 1000)) / 1000.0, 1),
                 })
             elif e == "SparkListenerJobStart":
-                jobs.append({"job": ev["Job Id"],
+                jobs.append({"job": ev.get("Job Id", -1),
                              "t0": round((ev["Submission Time"]
                                           - (t_mark - wall * 1000)) / 1000.0,
                                          1),

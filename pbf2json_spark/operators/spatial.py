@@ -39,7 +39,7 @@ import os
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -1118,35 +1118,51 @@ DEG_PER_PX = ic.DEG_PER_PX
 # kNN JOIN (corpus x corpus)
 # ---------------------------------------------------------------------------
 
-def _exit_bound_levels_udf(levels, ring: int):
-    """Vectorized exit-distance bound per row AT THE ROW'S OWN ladder
-    level — the same certificate kernel the ladder kNN uses
-    (cellindex.disk_exit_distance_m), looped over the <= len(levels)
-    distinct levels inside one Arrow batch."""
-    levels = tuple(int(L) for L in levels)
-
-    def bound(lat: pd.Series, lon: pd.Series, li: pd.Series) -> pd.Series:
-        la = lat.to_numpy(np.float64)
-        lo = lon.to_numpy(np.float64)
-        ix = li.to_numpy(np.int64)
-        out = np.empty(len(la), dtype=np.float64)
-        for i, L in enumerate(levels):
-            m = ix == i
-            if m.any():
-                out[m] = cx.disk_exit_distance_m(la[m], lo[m], L, ring)
-        return pd.Series(out)
-
-    return F.pandas_udf(bound, T.DoubleType())
+def _disk_exit_bound_col(lat: Column, lon: Column,
+                         i_l: Column, j_l: Column,
+                         level: int, ring: int) -> Column:
+    """JVM Column twin of cellindex.disk_exit_distance_m with the
+    level's constants folded at plan time: a conservative lower bound
+    (meters, sphere R=6378137) on the distance from (lat, lon) — whose
+    level-`level` grid coordinates are (i_l, j_l) — to any point
+    OUTSIDE its ring-disk at that level.  Latitude sides are exact
+    meridian arcs (+inf when the disk touches a pole); longitude sides
+    are distance to the side meridian's full great circle, a lower
+    bound (+inf when the disk wraps all longitudes).  Pinned
+    bit-for-bit against the numpy kernel in
+    tests/test_spatial.py::test_disk_exit_bound_col_matches_numpy."""
+    INF = F.lit(float("inf"))
+    nlat_l, nlon_l = 1 << level, 2 << level
+    dlat_deg = 180.0 / nlat_l
+    dlon_deg = 360.0 / nlon_l
+    lat_lo = (i_l - ring) * F.lit(dlat_deg) - 90.0
+    lat_hi = (i_l + ring + 1) * F.lit(dlat_deg) - 90.0
+    d_s = F.when(lat_lo <= -90.0, INF).otherwise(
+        F.radians(lat - lat_lo) * gk.EARTH_RADIUS_M)
+    d_n = F.when(lat_hi >= 90.0, INF).otherwise(
+        F.radians(lat_hi - lat) * gk.EARTH_RADIUS_M)
+    if 2 * ring + 1 >= nlon_l:
+        return F.least(d_s, d_n)
+    cosphi = F.cos(F.radians(lat))
+    darms = []
+    for mer in ((j_l - ring) * F.lit(dlon_deg) - 180.0,
+                (j_l + ring + 1) * F.lit(dlon_deg) - 180.0):
+        dl = F.radians(F.pmod(lon - mer, F.lit(360.0)))
+        darms.append(gk.EARTH_RADIUS_M * F.asin(
+            F.least(F.greatest(cosphi * F.abs(F.sin(dl)),
+                               F.lit(0.0)), F.lit(1.0))))
+    return F.least(d_s, d_n, *darms)
 
 
 def knn_join(left: DataFrame, right: DataFrame, k: int,
              left_id: str = "left_id", right_id: str = "right_id",
-             levels=(20, 18, 16, 14, 12, 10, 8, 6, 4),
+             levels=(24, 22, 20, 18, 16, 14, 12, 10, 8, 6, 4),
              probe_level: int = 9,  # unused since r6 (kept for API
              # compat: the W table measures every ladder level exactly)
              margin: float = 4.0, ring: int = 1,
              tail_fold_frac: float = 0.01,
              early_fold_min: int = 1024,
+             brute_fold_ops: float = 5e10,
              exclude_self: bool = False,
              trace: dict | None = None) -> DataFrame:
     """EXACT k nearest `right` rows for EVERY `left` row — the
@@ -1177,7 +1193,14 @@ def knn_join(left: DataFrame, right: DataFrame, k: int,
     candidate rows at 300k, 90 GB of window-sort spill).  Measured
     windows bound candidates per row to < 16*margin*k at EVERY
     density (next-coarser-rung factor at spacing 2), so hot cells
-    cost the same per row as empty ocean.
+    cost the same per row as empty ocean.  The ladder must reach
+    FINE enough that hotspot cores thin out: at finest=20 the 2.4M
+    zipfian bench put 106k core rows at the finest rung with
+    nothing finer to offer them, and since every pair for one cell
+    shares one join key, the hot cells' join output piled into
+    single tasks no partition count could split (max task 3.3x the
+    median with EVEN input rows).  finest=24 (~10 m cells) restores
+    the bounded-window property for any realistically-dense corpus.
 
     Plan per round (all distributed; rows at DIFFERENT levels share
     one join because a cell id embeds its level in bits 54+):
@@ -1185,25 +1208,33 @@ def knn_join(left: DataFrame, right: DataFrame, k: int,
          coarser level's coordinates are exact right-shifts (floor
          commutes with power-of-2 scaling), so the per-row 3x3 disk
          explode is a small branch over lvl_idx of pure bit math
-         (cellsql.disk_cells_col);
-      2. cell-equi join against right_long — the right side exploded
-         ONCE to (cell, id, lat, lon) rows for every ladder level
-         (len(levels) * N rows, ~40 B each: the ingest-time index
-         pattern, persisted across rounds);
-      3. JVM haversine + row_number window, filtered rank<=k
-         immediately (WindowGroupLimit partial top-k both sides of
-         the exchange);
-      4. a left row is DONE when it found k candidates AND its kth
-         distance <= the disk exit bound at ITS level (the ladder
-         kNN certificate); n_found comes from max(rank) of the top-k
-         rows themselves — a count window over the same partition
-         would force the full sort WindowGroupLimit just avoided.
+         (packed shift-or keys with disk_cells_col's wrap/drop rules);
+      2. cell-equi join against the right side, exploded from one
+         persisted N-row (id, lat, lon, i, j) index to ONLY the
+         round's active levels (pure shift-or key math — the
+         matchable join volume, not the full ladder);
+      3. JVM haversine, then a dist <= exit-bound prefilter
+         (_disk_exit_bound_col: each row's distance to the nearest
+         point OUTSIDE its own disk — candidates beyond it can never
+         join a certified top-k), then the row_number window,
+         filtered rank<=k immediately (WindowGroupLimit partial
+         top-k both sides of the exchange, sorting only the
+         certifiable survivors);
+      4. a left row is DONE when k candidates survived the bound —
+         the prefilter already enforced kth <= exit bound, so the
+         ladder-kNN certificate collapses to n_found == k, with
+         n_found from max(rank) of the top-k rows themselves (a
+         count window over the same partition would force the full
+         sort WindowGroupLimit just avoided).
     Unsatisfied rows coarsen (lvl_idx + 1) and re-join next round;
-    rows that exhaust the ladder fold into knn()'s exact machinery
-    (the sparse-region tail), hash-chunked into KNN_MAX_QUERIES-sized
-    knn batches so a pathological all-sparse corpus degrades to more
-    fold batches instead of aborting.  A left side already at-or-under
-    the early-fold threshold (max(early_fold_min, tail_fold_frac *
+    rows that exhaust the ladder fold into an exact tail pass: when
+    fold x right distance ops fit `brute_fold_ops` the tail goes
+    straight to _brute_force_knn (BLAS-chunked, distributed, no index
+    build — the common few-thousand-row tail), else it batches
+    through knn() in KNN_MAX_QUERIES-sized hash-chunks so a
+    pathological all-sparse corpus degrades to more fold batches
+    instead of aborting.  A left side already at-or-under the
+    early-fold threshold (max(early_fold_min, tail_fold_frac *
     n_left)) skips the ladder entirely — round 0 could never be
     followed by round 1 there, so the fold IS the plan.
 
@@ -1215,8 +1246,7 @@ def knn_join(left: DataFrame, right: DataFrame, k: int,
 
     exclude_self drops left_id == right_id pairs BEFORE ranking (the
     self-dedup shape), on the folded tail too."""
-    from ..functions.cellsql import (cell_id_col, cell_ij_cols,
-                                     disk_cells_col, with_disk_cells)
+    from ..functions.cellsql import cell_id_col, cell_ij_cols
 
     from .dedup import _persistent_rdd_ids, _unpersist_rdd_ids
 
@@ -1266,12 +1296,36 @@ def knn_join(left: DataFrame, right: DataFrame, k: int,
         if trace is not None:
             trace["ladder_skipped"] = n_left
         fold_rows = left_raw
+    # PACKED KEYS everywhere (r6): the round join, like the W table,
+    # only needs SOME per-(level, cell) key both sides derive
+    # identically — so the whole ladder path skips the morton
+    # byte-table codec for plain shift-or packing (level<<54 | i<<27 |
+    # j).  The morton form (72 element_at per disk, x active levels,
+    # x both sides, rebuilt each round) was measured as ~27 s of
+    # SERIAL driver planning/codegen in round 0 at 600k (S+W/c fit of
+    # the 2/8/32-core legs) — the single largest Amdahl term in the
+    # operator.  Wrap/drop rules mirror disk_cells_col exactly
+    # (longitude pmod-wraps, out-of-range latitude drops), so the
+    # covered cell set — and with it the disk-exit certificate — is
+    # unchanged.
+    def _pk(L, i, j):
+        return F.shiftleft(F.lit(int(L)).cast("long"), 54) \
+            .bitwiseOR(F.shiftleft(i.cast("long"), 27)) \
+            .bitwiseOR(j.cast("long"))
+
     if run_ladder:
-        cells_arr = F.array(*[cell_id_col(F.col("r_lat"),
-                                          F.col("r_lon"), L)
-                              for L in levels])
-        right_long = right_base.select(
-            "*", F.explode(cells_arr).alias("_c")).persist()
+        # persist the right side ONCE at N rows with its finest (i, j)
+        # pair; every round derives its join keys from these by pure
+        # shifts, exploded ONLY to the round's ACTIVE levels.  The r5
+        # shape persisted an 11-levels x N pre-explode, which (a) held
+        # 11N rows in the block manager for a join that can only ever
+        # match the <= 3 levels the W table routed rows to, and (b)
+        # shuffled all 11N rows through every round's exchange (rounds
+        # are separate jobs — no exchange reuse), ~4x the matchable
+        # volume at the measured start histograms.
+        iR, jR = cell_ij_cols(F.col("r_lat"), F.col("r_lon"), finest)
+        right_idx = right_base \
+            .select("*", iR.alias("_ri"), jR.alias("_rj")).persist()
         # W TABLE — exact 3x3-window occupancy per (level, cell), built
         # fully distributed from the cell-scale count table: one N-row
         # groupBy at the finest ladder level, then per-level parent
@@ -1290,17 +1344,6 @@ def knn_join(left: DataFrame, right: DataFrame, k: int,
         # satisfying level is the finest — cost per left row is bounded
         # at EVERY density by the next-coarser rung's factor (16x at
         # the spacing-2 default).
-        # the W join only needs SOME per-(level, cell) key that both
-        # sides derive identically, so it skips the morton byte-table
-        # codec for plain shift-or packing: the 9-level morton form
-        # (72 element_at per disk, x9 levels, x both sides) was
-        # measured costing ~25 s of DRIVER planning/codegen gaps at
-        # 300k — more than the probe's entire cluster-side work
-        def _pk(L, i, j):
-            return F.shiftleft(F.lit(int(L)).cast("long"), 54) \
-                .bitwiseOR(F.shiftleft(i.cast("long"), 27)) \
-                .bitwiseOR(j.cast("long"))
-
         mk = float(margin * k)
         adj = F.lit(1 if exclude_self else 0)
         iF, jF = cell_ij_cols(F.col("r_lat"), F.col("r_lon"), finest)
@@ -1382,7 +1425,6 @@ def knn_join(left: DataFrame, right: DataFrame, k: int,
             .localCheckpoint(eager=False)
         remaining = labeled.filter(F.col("_li") < n_lvls)
         fold_rows = labeled.filter(F.col("_li") >= n_lvls)
-        bound_udf = _exit_bound_levels_udf(levels, ring)
         hist = {int(r["_li"]): int(r["count"])
                 for r in labeled.groupBy("_li").count().collect()}
         active = {i for i in hist if i < n_lvls}
@@ -1405,36 +1447,62 @@ def knn_join(left: DataFrame, right: DataFrame, k: int,
         # CASE-over-levels array inside one Generate blew janino's
         # 64 KB method limit at 7 ladder rungs; the union keeps every
         # doConsume tiny and the branches all read the same
-        # checkpointed frame.  ring=1 (default) uses the compact
-        # byte-table disk expression; wider rings route through
-        # with_disk_cells (pre-spread projection) because 25
-        # byte-table cells in one Generate also blow the 64 KB limit —
-        # at the cost of a deeper per-branch projection chain, which
-        # is why 1 stays the default (see BENCH notes).
+        # checkpointed frame.  Disk keys are packed shift-or combos
+        # (see _pk above) — each array element is ~8 scalar bit ops,
+        # so even a ring-2 25-element Generate compiles in ms where
+        # the byte-table morton form blew the 64 KB janino limit and
+        # cost ~27 s/round of serial driver codegen.
         parts = []
         for idx, L in enumerate(levels):
             if idx not in active:
                 continue
             sh = finest - L
-            if ring == 1:
-                arm = disk_cells_col(F.shiftright(F.col("_if"), sh),
-                                     F.shiftright(F.col("_jf"), sh), L, 1)
-                p = base.filter(F.col("_li") == idx).select(
-                    F.col(left_id), "l_lat", "l_lon", "_li",
-                    F.explode(arm).alias("_c"))
-            else:
-                p = base.filter(F.col("_li") == idx).select(
-                    F.col(left_id), "l_lat", "l_lon", "_li",
-                    F.shiftright(F.col("_if"), sh).alias("_iL"),
-                    F.shiftright(F.col("_jf"), sh).alias("_jL"))
-                p = with_disk_cells(p, "_iL", "_jL", L, ring, "_cells")
-                p = p.select(F.col(left_id), "l_lat", "l_lon", "_li",
-                             F.explode("_cells").alias("_c"))
+            nlat_l, nlon_l = 1 << L, 2 << L
+            p0 = base.filter(F.col("_li") == idx).select(
+                F.col(left_id), "l_lat", "l_lon", "_li",
+                F.shiftright(F.col("_if"), sh).alias("_iL"),
+                F.shiftright(F.col("_jf"), sh).alias("_jL"))
+            # per-branch JVM exit bound (cellindex.disk_exit_distance_m
+            # with L's constants folded at plan time): the distance from
+            # this left row to the nearest point OUTSIDE its own disk.
+            # Candidates farther than it are dead weight — they can
+            # never belong to a CERTIFIED top-k (if the unfiltered kth
+            # were beyond the bound the certificate fails and the row
+            # escalates regardless), so the round filters them out
+            # BEFORE the rank window.  Measured: the partial top-k sort
+            # over raw window candidates (up to 16*margin*k rows for a
+            # row whose next-finer window just missed mk) spilled
+            # 2-5.5 GB PER TASK at 2.4M and put the join stage's max
+            # task at 3.3x the median; the bound filter cuts the sort
+            # set to the ~cell-radius disk (~window/10) and the
+            # certificate becomes simply n_found == k.
+            xb = _disk_exit_bound_col(
+                F.col("l_lat"), F.col("l_lon"),
+                F.col("_iL"), F.col("_jL"), L, ring)
+            cells = []
+            for di in range(-ring, ring + 1):
+                for dj in range(-ring, ring + 1):
+                    ii = F.col("_iL") + F.lit(di)
+                    jj = F.pmod(F.col("_jL") + F.lit(dj),
+                                F.lit(nlon_l))
+                    cells.append(
+                        F.when((ii >= 0) & (ii < nlat_l),
+                               _pk(L, ii, jj)))
+            p = p0.select(F.col(left_id), "l_lat", "l_lon", "_li",
+                          xb.alias("_xb"),
+                          F.explode(F.array(*cells)).alias("_c"))
             parts.append(p.filter(F.col("_c").isNotNull()))
         lw = parts[0]
         for p in parts[1:]:
             lw = lw.unionByName(p)
-        cand = lw.join(right_long, "_c")
+        r_anc = F.array(*[
+            _pk(levels[i],
+                F.shiftright(F.col("_ri"), finest - levels[i]),
+                F.shiftright(F.col("_rj"), finest - levels[i]))
+            for i in sorted(active)])
+        rl = right_idx.select("*", F.explode(r_anc).alias("_c")) \
+            .drop("_ri", "_rj")
+        cand = lw.join(rl, "_c")
         if exclude_self:
             cand = cand.filter(F.col(left_id) != F.col(right_id))
         dist = _haversine_col(F.col("l_lat"), F.col("l_lon"),
@@ -1446,10 +1514,17 @@ def knn_join(left: DataFrame, right: DataFrame, k: int,
         # the top-k blocks, and everything downstream (stats, the final
         # results union) reads the blocks.  Eagerly checkpointing here
         # was a second job floor per round for the same bytes.
+        # dist <= _xb BEFORE the window: provably decision- and
+        # output-identical (see the _xb comment above) and it is what
+        # keeps the rank sort small — only the own-disk-certifiable
+        # candidates are ever sorted.
         top = cand.select(F.col(left_id), "l_lat", "l_lon", "_li",
-                          F.col(right_id), dist.alias("dist_m")) \
+                          F.col(right_id), dist.alias("dist_m"),
+                          "_xb") \
+                  .filter(F.col("dist_m") <= F.col("_xb")) \
                   .withColumn("rank", F.row_number().over(w)) \
                   .filter(F.col("rank") <= k) \
+                  .drop("_xb") \
                   .localCheckpoint(eager=False)
         # ONE left-join against the round's stats decides done/unsat:
         # a two-branch shape (ok-filter union leftanti) referenced the
@@ -1459,13 +1534,13 @@ def knn_join(left: DataFrame, right: DataFrame, k: int,
         # keeps the expensive round plan evaluated exactly once.
         # Rows with ZERO candidates have no stats row (n_found null)
         # and fall into unsat via the isNull arm.
+        # the _xb prefilter already enforced kth <= exit bound, so the
+        # certificate collapses to n_found == k — no Python crossing
+        # anywhere in the round.
         stats = top.groupBy(left_id).agg(
-            F.max("rank").alias("n_found"),
-            F.max("dist_m").alias("kth_dist"))
+            F.max("rank").alias("n_found"))
         j = remaining.join(stats, left_id, "left")
-        ok = (F.col("n_found") == k) \
-            & (F.col("kth_dist") <= bound_udf(
-                F.col("l_lat"), F.col("l_lon"), F.col("_li")))
+        ok = F.col("n_found") == k
         done_ids = j.filter(ok).select(left_id)
         results.append(top.join(done_ids, left_id, "leftsemi")
                        .select(left_id, right_id, "dist_m", "rank"))
@@ -1514,7 +1589,49 @@ def knn_join(left: DataFrame, right: DataFrame, k: int,
         n_fold = n_left if fold_rows is not None else 0
     _tf0 = _time.perf_counter()
     if n_fold:
-        # sparse-region tail: exact fold into the ladder kNN.  knn's
+        adj1 = 1 if exclude_self else 0
+        n_right = right_base.count()
+        if (n_fold <= KNN_MAX_QUERIES
+                and float(n_fold) * float(n_right) <= brute_fold_ops):
+            # SMALL-TAIL BRUTE (r6): the common fold is a few thousand
+            # genuinely-sparse rows, but routing them through knn()
+            # paid knn's full ladder machinery — driver presize, a
+            # morton codec build over the ENTIRE right corpus, 3
+            # candidate rounds — measured as ~32 s of SERIAL time at
+            # 600k (S+W/c fit of the 2/8/32-core legs), as much as the
+            # whole distributed round 0.  A bounded tail is exactly
+            # the shape _brute_force_knn already handles: fold x right
+            # distance ops, BLAS-chunked, distributed by queries
+            # (broadcast store) or by points (running top-k merge),
+            # nothing driver-side but the fold rows themselves.  Exact
+            # by construction, same distance kernel knn bottoms out
+            # in, so results are bit-identical to the knn fold.
+            fold_pdf = fold_rows.select(
+                F.col(left_id).alias("query_id"),
+                F.col("l_lat").alias("lat"),
+                F.col("l_lon").alias("lon")).toPandas()
+            bpts = right_base.select(
+                F.col(right_id).alias("_pid"),
+                F.col("r_lat").alias("p_lat"),
+                F.col("r_lon").alias("p_lon"))
+            folded = _brute_force_knn(bpts, fold_pdf, k + adj1,
+                                      "_pid", n_points=n_right)
+            if exclude_self:
+                folded = folded.filter(
+                    F.col("query_id") != F.col("_pid"))
+                wf = Window.partitionBy("query_id").orderBy(
+                    F.asc("dist_m"), F.asc("_pid"))
+                folded = folded.withColumn(
+                    "rank", F.row_number().over(wf)) \
+                    .filter(F.col("rank") <= k)
+            results.append(folded.select(
+                F.col("query_id").alias(left_id),
+                F.col("_pid").alias(right_id), "dist_m", "rank"))
+            n_chunks = 0
+        else:
+            n_chunks = max(1, -(-n_fold // int(0.9 * KNN_MAX_QUERIES)))
+    if n_fold and n_chunks:
+        # oversized tail: exact fold into the ladder kNN.  knn's
         # query side is driver-collected and refuses more than
         # KNN_MAX_QUERIES rows — on a pathological corpus (most of the
         # left side genuinely sparse at every ladder level) the fold
@@ -1526,7 +1643,6 @@ def knn_join(left: DataFrame, right: DataFrame, k: int,
         q_all = fold_rows.select(F.col(left_id).alias("query_id"),
                                  F.col("l_lat").alias("lat"),
                                  F.col("l_lon").alias("lon"))
-        n_chunks = max(1, -(-n_fold // int(0.9 * KNN_MAX_QUERIES)))
         res_col = f"cell_r{KNN_RES}"
         pts = right_base.select(
             F.col(right_id).alias("_pid"),

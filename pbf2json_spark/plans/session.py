@@ -51,6 +51,17 @@ def build_session(app_name: str = "pbf2json-spark",
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        # start every exchange fine-grained and let AQE COALESCE down,
+        # instead of capping granularity at spark.sql.shuffle.partitions:
+        # with partitions == 2 x cores, one knn_join candidate-join
+        # partition at 2.4M points held a hot-cell cluster whose join
+        # OUTPUT (not input — input rows were even) ran 3.3x the median
+        # task (event-log profile, BENCH/BASELINE.md r6), idling the
+        # other cores for half the stage.  256 initial partitions give
+        # AQE the granularity to spread hot cells and to merge the
+        # small remainder to ~64 MB targets; gate-scale queries still
+        # coalesce to a handful of tasks, so their floors are unchanged.
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum": "256",
         # runtime bloom filters = the reference's bitmask semi-joins (§4)
         "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
         # Arrow everywhere Python is crossed

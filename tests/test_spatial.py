@@ -714,6 +714,91 @@ def test_knn_join_fold_tail_chunks_past_knn_guard(spark):
         assert sub["right_id"].tolist() == rids[order].tolist(), lids[li]
 
 
+def test_disk_exit_bound_col_matches_numpy(spark):
+    """The r6 JVM exit-bound prefilter (_disk_exit_bound_col) is what
+    makes the round certificate `n_found == k` sound: it must never
+    EXCEED the numpy disk_exit_distance_m bound the old pandas-UDF
+    certificate used (a larger bound could certify a kth neighbor
+    outside the provably-covered disk).  Pin exact equality across
+    levels and the edge geometries: pole-touching disks (inf arms),
+    antimeridian-straddling cells, and the all-longitudes-wrap case
+    at coarse levels."""
+    from pyspark.sql import functions as F
+    from pbf2json_spark.functions.cellsql import cell_ij_cols
+
+    rng = np.random.default_rng(4242)
+    lat = np.concatenate([rng.uniform(-90, 90, 400),
+                          rng.uniform(88, 90, 50),       # north pole
+                          rng.uniform(-90, -88, 50),     # south pole
+                          rng.uniform(-1, 1, 50)])       # equator
+    lon = np.concatenate([rng.uniform(-180, 180, 400),
+                          rng.uniform(179, 180, 50),     # antimeridian
+                          rng.uniform(-180, -179, 50),
+                          rng.uniform(-1, 1, 50)])
+    pdf = pd.DataFrame({"lat": lat, "lon": lon})
+    df = spark.createDataFrame(pdf)
+    for level, ring in [(0, 1), (2, 1), (9, 1), (9, 2), (16, 1),
+                        (20, 1), (24, 1)]:
+        i_c, j_c = cell_ij_cols(F.col("lat"), F.col("lon"), level)
+        got = df.select(
+            "lat", "lon",
+            sp._disk_exit_bound_col(F.col("lat"), F.col("lon"),
+                                    i_c, j_c, level, ring)
+            .alias("xb")).toPandas()
+        want = cx.disk_exit_distance_m(got["lat"].to_numpy(),
+                                       got["lon"].to_numpy(),
+                                       level, ring)
+        g = got["xb"].to_numpy(np.float64)
+        both_inf = np.isinf(g) & np.isinf(want)
+        assert np.allclose(g[~both_inf], want[~both_inf], rtol=1e-12), \
+            (level, ring)
+        assert (np.isinf(g) == np.isinf(want)).all(), (level, ring)
+
+
+def test_knn_join_brute_fold_equals_knn_fold(spark):
+    """The r6 brute sparse-tail short-circuit (_brute_force_knn when
+    fold x right ops fit brute_fold_ops) must be result-identical to
+    the chunked knn() fold it replaces — same distance kernel, same
+    (dist, id) tiebreak — including the exclude_self re-rank."""
+    import pandas as _pd
+    rng = np.random.default_rng(57)
+    NR, NL, K = 150, 70, 3
+    # degrees-apart spread: a one-rung level-16 ladder certifies
+    # nothing, so EVERY left row reaches the fold
+    rlat = rng.uniform(-60, 60, NR)
+    rlon = rng.uniform(-170, 170, NR)
+    rids = np.array([f"r{i:05d}" for i in range(NR)])
+    right = spark.createDataFrame(_pd.DataFrame(
+        {"right_id": rids, "lat": rlat, "lon": rlon}))
+    left = spark.createDataFrame(_pd.DataFrame(
+        {"left_id": np.array([f"l{i:05d}" for i in range(NL)]),
+         "lat": rng.uniform(-60, 60, NL),
+         "lon": rng.uniform(-170, 170, NL)}))
+
+    def run(**kw):
+        out = sp.knn_join(left, right, k=K, levels=(16,),
+                          early_fold_min=0, **kw).toPandas()
+        return out.sort_values(["left_id", "rank"]).reset_index(drop=True)
+
+    brute = run()                      # default budget -> brute path
+    chunk = run(brute_fold_ops=0.0)    # force the knn() chunked fold
+    assert brute[["left_id", "right_id", "rank"]].equals(
+        chunk[["left_id", "right_id", "rank"]])
+    assert np.allclose(brute["dist_m"], chunk["dist_m"], rtol=1e-9)
+
+    # exclude_self: the self-join shape through both fold paths
+    sl = right.selectExpr("right_id as left_id", "lat", "lon")
+    b2 = sp.knn_join(sl, right, k=K, levels=(16,), early_fold_min=0,
+                     exclude_self=True).toPandas() \
+        .sort_values(["left_id", "rank"]).reset_index(drop=True)
+    c2 = sp.knn_join(sl, right, k=K, levels=(16,), early_fold_min=0,
+                     exclude_self=True, brute_fold_ops=0.0).toPandas() \
+        .sort_values(["left_id", "rank"]).reset_index(drop=True)
+    assert (b2["left_id"] != b2["right_id"]).all()
+    assert b2[["left_id", "right_id", "rank"]].equals(
+        c2[["left_id", "right_id", "rank"]])
+
+
 def test_knn_join_releases_internal_blocks(spark):
     """knn_join must release every call-internal persisted RDD (round
     tops/remainings, right key table, fold outputs) once its result is
