@@ -40,8 +40,14 @@ def main():
     from pbf2json_spark.plans.session import (build_session,
                                               warm_python_workers)
 
+    # >= 4.8M points needs headroom past the 8g default: the 9.6M leg's
+    # candidate-join tasks hit GCLocker retry walls (268 MB single
+    # allocations) and died.  Heap is a leg parameter, not an engine
+    # default — a real cluster sizes executors to the data.
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
     spark = build_session(app_name=f"knn-join-{cpus}", cores=cpus,
-                          shuffle_partitions=2 * cpus)
+                          shuffle_partitions=2 * cpus,
+                          extra={"spark.driver.memory": mem})
     spark.sparkContext.setLogLevel("ERROR")
     warm_python_workers(spark)
 

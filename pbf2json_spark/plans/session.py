@@ -62,6 +62,15 @@ def build_session(app_name: str = "pbf2json-spark",
         # small remainder to ~64 MB targets; gate-scale queries still
         # coalesce to a handful of tasks, so their floors are unchanged.
         "spark.sql.adaptive.coalescePartitions.initialPartitionNum": "256",
+        # ... and coalesce to 16 MB targets, not the 64 MB default: the
+        # knn_join candidate-join stage at 2.4M coalesced to 20 tasks
+        # with a 3.6x duration spread (6.9-25.1 s, event-log task
+        # profile) — 20 uneven tasks pack 8 cores at ~65% and cap a
+        # 32-core run at 20-way parallelism outright (the measured
+        # 8->32 cliff).  16 MB quadruples the task count at corpus
+        # scale so waves pack; gate-scale stages sit far below 16 MB
+        # and still coalesce to a handful of tasks.
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16m",
         # runtime bloom filters = the reference's bitmask semi-joins (§4)
         "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
         # Arrow everywhere Python is crossed
