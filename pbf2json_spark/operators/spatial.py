@@ -1459,7 +1459,7 @@ def knn_join(left: DataFrame, right: DataFrame, k: int,
             sh = finest - L
             nlat_l, nlon_l = 1 << L, 2 << L
             p0 = base.filter(F.col("_li") == idx).select(
-                F.col(left_id), "l_lat", "l_lon", "_li",
+                F.col(left_id), "l_lat", "l_lon",
                 F.shiftright(F.col("_if"), sh).alias("_iL"),
                 F.shiftright(F.col("_jf"), sh).alias("_jL"))
             # per-branch JVM exit bound (cellindex.disk_exit_distance_m
@@ -1488,7 +1488,7 @@ def knn_join(left: DataFrame, right: DataFrame, k: int,
                     cells.append(
                         F.when((ii >= 0) & (ii < nlat_l),
                                _pk(L, ii, jj)))
-            p = p0.select(F.col(left_id), "l_lat", "l_lon", "_li",
+            p = p0.select(F.col(left_id), "l_lat", "l_lon",
                           xb.alias("_xb"),
                           F.explode(F.array(*cells)).alias("_c"))
             parts.append(p.filter(F.col("_c").isNotNull()))
@@ -1518,13 +1518,23 @@ def knn_join(left: DataFrame, right: DataFrame, k: int,
         # output-identical (see the _xb comment above) and it is what
         # keeps the rank sort small — only the own-disk-certifiable
         # candidates are ever sorted.
-        top = cand.select(F.col(left_id), "l_lat", "l_lon", "_li",
-                          F.col(right_id), dist.alias("dist_m"),
-                          "_xb") \
+        # PROJECT TO THE WINDOW'S WORKING SET before the rank exchange:
+        # the rank window's hash exchange is the single largest shuffle
+        # in the operator (every surviving candidate row crosses it),
+        # and nothing downstream of the window reads l_lat/l_lon/_li/_xb
+        # (stats needs left_id+rank; the results union needs
+        # left_id/right_id/dist_m/rank; unsat rows re-derive coords from
+        # `remaining`, never from `top`) — carrying them was ~28 B of a
+        # ~70 B row.  Measured at the 9.6M self-join: the round-0
+        # exchange+sort wrote > 30 GB of shuffle/spill with the wide
+        # row and exhausted a 57 GB scratch disk; the trimmed row
+        # fits the same leg comfortably.
+        top = cand.select(F.col(left_id), F.col(right_id),
+                          dist.alias("dist_m"), "_xb") \
                   .filter(F.col("dist_m") <= F.col("_xb")) \
+                  .drop("_xb") \
                   .withColumn("rank", F.row_number().over(w)) \
                   .filter(F.col("rank") <= k) \
-                  .drop("_xb") \
                   .localCheckpoint(eager=False)
         # ONE left-join against the round's stats decides done/unsat:
         # a two-branch shape (ok-filter union leftanti) referenced the
