@@ -31,11 +31,13 @@ def main():
     import shutil
     shutil.rmtree(EVT_DIR, ignore_errors=True)
     os.makedirs(EVT_DIR, exist_ok=True)
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
     spark = build_session(app_name="knnj-prof", cores=cpus,
                           shuffle_partitions=2 * cpus,
                           extra={"spark.eventLog.enabled": "true",
                                  "spark.eventLog.compress": "false",
-                                 "spark.eventLog.dir": EVT_DIR})
+                                 "spark.eventLog.dir": EVT_DIR,
+                                 "spark.driver.memory": mem})
     spark.sparkContext.setLogLevel("ERROR")
     warm_python_workers(spark)
 
@@ -79,6 +81,7 @@ def main():
     for logf in sorted(logfs):
         with open(logf) as fh:
             lines.extend(fh)
+    sbytes = {}  # stage id -> [shuf write B, shuf read B, spill B, out rows]
     if True:
         for line in lines:
             try:
@@ -86,7 +89,21 @@ def main():
             except json.JSONDecodeError:
                 continue
             e = ev.get("Event")
-            if e == "SparkListenerStageCompleted":
+            if e == "SparkListenerTaskEnd":
+                tm = ev.get("Task Metrics") or {}
+                sid = ev.get("Stage ID", -1)
+                acc = sbytes.setdefault(sid, [0, 0, 0, 0])
+                acc[0] += (tm.get("Shuffle Write Metrics") or {}) \
+                    .get("Shuffle Bytes Written", 0)
+                rm = tm.get("Shuffle Read Metrics") or {}
+                acc[1] += rm.get("Remote Bytes Read", 0) \
+                    + rm.get("Local Bytes Read", 0)
+                acc[2] += tm.get("Disk Bytes Spilled", 0)
+                acc[3] += (tm.get("Output Metrics") or {}) \
+                    .get("Records Written", 0) or \
+                    (tm.get("Shuffle Write Metrics") or {}) \
+                    .get("Shuffle Records Written", 0)
+            elif e == "SparkListenerStageCompleted":
                 si = ev["Stage Info"]
                 sub = si.get("Submission Time", 0)
                 if sub < t_mark - wall * 1000 - 2000:
@@ -111,8 +128,12 @@ def main():
                       "trace": tr, "n_jobs_total": len(jobs)}))
     print("top stages by duration:")
     for s in stages[:18]:
+        sw, sr, sp, rec = sbytes.get(s["stage"], [0, 0, 0, 0])
+        gb = 1024 ** 3
         print(f"  t0={s['t0']:>7.1f}s dur={s['dur_s']:>7.2f}s "
-              f"tasks={s['tasks']:>4} stage{s['stage']:>4} {s['name']}")
+              f"tasks={s['tasks']:>4} stage{s['stage']:>4} "
+              f"w={sw/gb:5.1f}G r={sr/gb:5.1f}G sp={sp/gb:5.1f}G "
+              f"rec={rec/1e6:7.1f}M {s['name']}")
     print("jobs in window:",
           [j for j in jobs if j["t0"] > -5][:40])
 

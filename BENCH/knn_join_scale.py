@@ -45,9 +45,17 @@ def main():
     # allocations) and died.  Heap is a leg parameter, not an engine
     # default — a real cluster sizes executors to the data.
     mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
+    # 1-min periodic driver GC: shuffle files are only deleted when the
+    # driver GC collects the dereferenced shuffle dependencies
+    # (ContextCleaner); with a 48g heap the default 30-min interval lets
+    # ~50 GB of dead probe/round shuffle files pile up on this sandbox's
+    # 57 GB scratch during a 9.6M leg.  On a real cluster the same flag
+    # bounds executor scratch on long-lived multi-round jobs.
     spark = build_session(app_name=f"knn-join-{cpus}", cores=cpus,
                           shuffle_partitions=2 * cpus,
-                          extra={"spark.driver.memory": mem})
+                          extra={"spark.driver.memory": mem,
+                                 "spark.cleaner.periodicGC.interval":
+                                 "1min"})
     spark.sparkContext.setLogLevel("ERROR")
     warm_python_workers(spark)
 
@@ -70,8 +78,21 @@ def main():
 
     t0 = time.perf_counter()
     tr = {}
+
+    # progress heartbeat: knn_join fills `tr` in place per phase; a
+    # 9.6M leg runs ~10-25 min with nothing printed otherwise
+    import threading
+    stop_hb = threading.Event()
+
+    def _hb():
+        while not stop_hb.wait(60):
+            print(f"# t={time.perf_counter()-t0:7.1f}s trace={tr}",
+                  file=sys.stderr, flush=True)
+
+    threading.Thread(target=_hb, daemon=True).start()
     out = knn_join(left, pts, k=k, exclude_self=True, trace=tr)
     n_out = out.count()
+    stop_hb.set()
     wall = time.perf_counter() - t0
 
     print(json.dumps({

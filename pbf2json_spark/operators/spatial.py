@@ -1162,7 +1162,7 @@ def knn_join(left: DataFrame, right: DataFrame, k: int,
              margin: float = 4.0, ring: int = 1,
              tail_fold_frac: float = 0.01,
              early_fold_min: int = 1024,
-             brute_fold_ops: float = 5e10,
+             brute_fold_ops: float = 1e12,
              exclude_self: bool = False,
              trace: dict | None = None) -> DataFrame:
     """EXACT k nearest `right` rows for EVERY `left` row — the
@@ -1233,7 +1233,18 @@ def knn_join(left: DataFrame, right: DataFrame, k: int,
     build — the common few-thousand-row tail), else it batches
     through knn() in KNN_MAX_QUERIES-sized hash-chunks so a
     pathological all-sparse corpus degrades to more fold batches
-    instead of aborting.  A left side already at-or-under the
+    instead of aborting.  The 1e12 crossover is deliberately high:
+    brute ops are pure DISTRIBUTABLE work (~3e8 pair evals/s/core
+    measured), while knn()'s cost is CORPUS-LINEAR PER ROUND no
+    matter how few queries remain (the point side re-explodes and
+    re-joins each round, plus its density aggregate and store
+    persist) — at the 9.6M self-join the measured fold was 60k rows,
+    and the knn() route was still running at +970 s (~3 corpus-scale
+    rounds for 0.6% of the left side) where the brute route is ~a
+    minute of cluster work (5.8e11 ops at 32 cores).  Below ~1e12
+    ops the brute side wins at any realistic core count for a corpus
+    this size; above it, chunked knn() amortizes its corpus-linear
+    rounds over >= 10^5 queries per chunk.  A left side already at-or-under the
     early-fold threshold (max(early_fold_min, tail_fold_frac *
     n_left)) skips the ladder entirely — round 0 could never be
     followed by round 1 there, so the fold IS the plan.
