@@ -37,7 +37,7 @@ def main():
 
     from pbf2json_spark.functions import imagecodec as ic
     from pbf2json_spark.operators.spatial import knn_join
-    from pbf2json_spark.plans.session import (build_session,
+    from pbf2json_spark.plans.session import (build_session, ship_package,
                                               warm_python_workers)
 
     # >= 4.8M points needs headroom past the 8g default: the 9.6M leg's
@@ -45,18 +45,34 @@ def main():
     # allocations) and died.  Heap is a leg parameter, not an engine
     # default — a real cluster sizes executors to the data.
     mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
+    # SPARK_GRAFT_MASTER=local-cluster[4,8,12288] runs the SAME leg as
+    # N separate executor JVMs (true serialized shuffle over sockets,
+    # per-executor heaps) — the literal "N executors vs 4N executors"
+    # shape of the scaling criterion, and the control for the
+    # single-JVM shared-heap artifact: a local[32] leg shares one
+    # allocator/GC across 32 tasks, while 4x8-core executors at the
+    # same per-core heap do not.  `cpus` then only sizes shuffle
+    # partitions and input splits.
+    master = os.environ.get("SPARK_GRAFT_MASTER")
     # 1-min periodic driver GC: shuffle files are only deleted when the
     # driver GC collects the dereferenced shuffle dependencies
     # (ContextCleaner); with a 48g heap the default 30-min interval lets
     # ~50 GB of dead probe/round shuffle files pile up on this sandbox's
     # 57 GB scratch during a 9.6M leg.  On a real cluster the same flag
     # bounds executor scratch on long-lived multi-round jobs.
+    extra = {"spark.driver.memory": mem,
+             "spark.cleaner.periodicGC.interval": "1min"}
+    if master:
+        # local-cluster executors take their heap from the master
+        # string's mem_mb slot; the driver only coordinates
+        extra["spark.driver.memory"] = os.environ.get(
+            "SPARK_GRAFT_CLUSTER_DRIVER_MEM", "8g")
     spark = build_session(app_name=f"knn-join-{cpus}", cores=cpus,
                           shuffle_partitions=2 * cpus,
-                          extra={"spark.driver.memory": mem,
-                                 "spark.cleaner.periodicGC.interval":
-                                 "1min"})
+                          master=master, extra=extra)
     spark.sparkContext.setLogLevel("ERROR")
+    if master:
+        ship_package(spark)  # executors are separate JVMs
     warm_python_workers(spark)
 
     def gen(batches):
