@@ -70,7 +70,8 @@ def main():
     spark = build_session(app_name=f"knn-join-{cpus}", cores=cpus,
                           shuffle_partitions=2 * cpus,
                           master=master, extra=extra)
-    spark.sparkContext.setLogLevel("ERROR")
+    spark.sparkContext.setLogLevel(
+        os.environ.get("SPARK_GRAFT_LOG_LEVEL", "ERROR"))
     if master:
         ship_package(spark)  # executors are separate JVMs
     warm_python_workers(spark)

@@ -1400,25 +1400,46 @@ def knn_join(left: DataFrame, right: DataFrame, k: int,
             (F.col("_w") - adj >= mk)
             | (F.shiftright(F.col("_c"), 54) == levels[-1]))
 
-        # per-left-row start level = FINEST ladder level whose measured
-        # window holds >= margin*k rights (min posexplode index, valid
-        # by window-nesting monotonicity); rows that cannot reach k
-        # even at the coarsest level take the sentinel and fold into
-        # knn()'s exact tail — no round could ever certify them.
+        # per-CELL start level, joined back to left rows (r6): the start
+        # level — FINEST ladder level whose measured window holds >=
+        # margin*k rights, min posexplode index, valid by
+        # window-nesting monotonicity — is a function of the row's
+        # FINEST cell alone (every ladder window is derived from the
+        # cell, not the point), so it is computed once per DISTINCT
+        # finest cell and equi-joined to left on one packed long key.
+        # The previous shape exploded EVERY left row 11x and
+        # re-aggregated 105M exploded rows by 9.6M string ids through
+        # a sort-merge join (wtab outgrows the broadcast threshold at
+        # corpus scale); on an 8-core/24g executor — a realistic
+        # cluster shape — that stage exhausted the execution pool and
+        # killed the executor outright (ShuffleExternalSorter could
+        # not acquire 32 KB; raw heap-space OOM in the concurrent
+        # stage).  Per-cell the explode touches distinct cells only
+        # (16-byte long rows, no string agg), and the row-scale work
+        # collapses to one long-keyed equi-join.  Cells come from BOTH
+        # sides: a left row in a right-empty cell still needs its
+        # (all-null -> sentinel/coarsest) lookup row.
         liF, ljF = cell_ij_cols(F.col("l_lat"), F.col("l_lon"), finest)
-        lcells = F.array(*[
-            _pk(L, F.shiftright(F.col("_i"), finest - L),
-                F.shiftright(F.col("_j"), finest - L))
+        lkey = left_raw.select(F.col(left_id), "l_lat", "l_lon",
+                               _pk(finest, liF, ljF).alias("_fk"))
+        cells = cnt_f.select(_pk(finest, F.col("_i"), F.col("_j"))
+                             .alias("_fk")) \
+            .union(lkey.select("_fk")).distinct()
+        # decode-then-shift (mask BEFORE the ancestor shift: the packed
+        # level field sits directly above the i field, so shifting the
+        # raw key right by 27+s smears level bits into the masked i
+        # for s >= 4)
+        _fi = F.shiftright(F.col("_fk"), 27) \
+            .bitwiseAND(F.lit((1 << 27) - 1))
+        _fj = F.col("_fk").bitwiseAND(F.lit((1 << 27) - 1))
+        canc = F.array(*[
+            _pk(L, F.shiftright(_fi, finest - L),
+                F.shiftright(_fj, finest - L))
             for L in levels])
-        lx = left_raw.select(F.col(left_id), "l_lat", "l_lon",
-                             liF.alias("_i"), ljF.alias("_j")) \
-            .select(F.col(left_id), "l_lat", "l_lon",
-                    F.posexplode(lcells).alias("_lx", "_c"))
-        ag = lx.join(wtab, "_c", "left") \
+        cx = cells.select("_fk", F.posexplode(canc).alias("_lx", "_c"))
+        cs = cx.join(wtab, "_c", "left") \
             .withColumn("_wv", F.coalesce(F.col("_w"), F.lit(0)) - adj) \
-            .groupBy(left_id).agg(
-                F.first("l_lat").alias("l_lat"),
-                F.first("l_lon").alias("l_lon"),
+            .groupBy("_fk").agg(
                 F.min(F.when(F.col("_wv") >= mk, F.col("_lx")))
                  .alias("_si"),
                 F.max("_wv").alias("_wmax"))
@@ -1426,13 +1447,16 @@ def knn_join(left: DataFrame, right: DataFrame, k: int,
             F.col("_si"),
             F.when(F.col("_wmax") >= k, F.lit(n_lvls - 1)),
             F.lit(n_lvls))
+        cell_start = cs.select("_fk", start.cast("int").alias("_li"))
         # LAZY checkpoint: the histogram job below materializes these
         # blocks AND hands back the active-level set, so each round's
         # plan only contains Generate branches for levels that hold
         # rows (a 13-branch every-level union was measured costing
         # ~5 s/round of empty partition scans at 128 partitions)
-        labeled = ag.select(F.col(left_id), "l_lat", "l_lon",
-                            start.cast("int").alias("_li")) \
+        labeled = lkey.join(cell_start, "_fk", "left") \
+            .select(F.col(left_id), "l_lat", "l_lon",
+                    F.coalesce(F.col("_li"), F.lit(n_lvls))
+                     .cast("int").alias("_li")) \
             .localCheckpoint(eager=False)
         remaining = labeled.filter(F.col("_li") < n_lvls)
         fold_rows = labeled.filter(F.col("_li") >= n_lvls)
