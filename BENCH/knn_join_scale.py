@@ -63,8 +63,15 @@ def main():
     extra = {"spark.driver.memory": mem,
              "spark.cleaner.periodicGC.interval": "1min"}
     if master:
-        # local-cluster executors take their heap from the master
-        # string's mem_mb slot; the driver only coordinates
+        # the master string's mem_mb slot is only the WORKER's
+        # advertised capacity — executors still request
+        # spark.executor.memory (default 1g!), so it must be set
+        # explicitly or every executor runs on a 1 GB heap no matter
+        # what the master string says (measured: 9.6M legs OOM'd in
+        # HashAggregate spill-merge with 24576 in the master string
+        # until this was set).  The driver only coordinates.
+        extra["spark.executor.memory"] = os.environ.get(
+            "SPARK_GRAFT_EXEC_MEM", "22g")
         extra["spark.driver.memory"] = os.environ.get(
             "SPARK_GRAFT_CLUSTER_DRIVER_MEM", "8g")
     spark = build_session(app_name=f"knn-join-{cpus}", cores=cpus,
