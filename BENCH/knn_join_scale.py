@@ -62,6 +62,12 @@ def main():
     # bounds executor scratch on long-lived multi-round jobs.
     extra = {"spark.driver.memory": mem,
              "spark.cleaner.periodicGC.interval": "1min"}
+    # SPARK_GRAFT_EXTRA_CONF="k=v;k=v" — ad-hoc conf overrides for
+    # A/B experiments (e.g. AQE granularity under local-cluster)
+    for kv in os.environ.get("SPARK_GRAFT_EXTRA_CONF", "").split(";"):
+        if "=" in kv:
+            ck, cv = kv.split("=", 1)
+            extra[ck.strip()] = cv.strip()
     if master:
         # the master string's mem_mb slot is only the WORKER's
         # advertised capacity — executors still request
