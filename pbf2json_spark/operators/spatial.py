@@ -1416,15 +1416,17 @@ def knn_join(left: DataFrame, right: DataFrame, k: int,
         # not acquire 32 KB; raw heap-space OOM in the concurrent
         # stage).  Per-cell the explode touches distinct cells only
         # (16-byte long rows, no string agg), and the row-scale work
-        # collapses to one long-keyed equi-join.  Cells come from BOTH
-        # sides: a left row in a right-empty cell still needs its
-        # (all-null -> sentinel/coarsest) lookup row.
+        # collapses to one long-keyed equi-join.  Cells come from the
+        # LEFT side alone: cell_start rows are only ever consumed by
+        # joining left rows, so right-only cells would be computed and
+        # dropped — and in the asymmetric shape (small left vs huge
+        # right) they would make probe cost scale with the WRONG side.
+        # A left cell with no right rows anywhere near still gets its
+        # lookup row (wtab left-join -> all-null -> sentinel/coarsest).
         liF, ljF = cell_ij_cols(F.col("l_lat"), F.col("l_lon"), finest)
         lkey = left_raw.select(F.col(left_id), "l_lat", "l_lon",
                                _pk(finest, liF, ljF).alias("_fk"))
-        cells = cnt_f.select(_pk(finest, F.col("_i"), F.col("_j"))
-                             .alias("_fk")) \
-            .union(lkey.select("_fk")).distinct()
+        cells = lkey.select("_fk").distinct()
         # decode-then-shift (mask BEFORE the ancestor shift: the packed
         # level field sits directly above the i field, so shifting the
         # raw key right by 27+s smears level bits into the masked i
