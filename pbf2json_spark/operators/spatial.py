@@ -1775,12 +1775,17 @@ def image_blocks(images: DataFrame, grid: int = 4,
                 lat, lon = ic.geotag_from_phash(pdf["phash"].to_numpy(np.int64))
             n_img = len(pdf)
             n = grid * grid
-            vals = np.empty((n_img, n))
-            blas = np.empty((n_img, n))
-            blos = np.empty((n_img, n))
-            for i, b in enumerate(pdf["bytes"]):
-                vals[i], bh, bw = ic.block_means(ic.decode_image(bytes(b)), grid)
-                blas[i], blos[i] = ic.block_centers(lat[i], lon[i], bh, bw, grid)
+            # one contiguous buffer + offsets -> the batched kernel
+            # (groups same-shape images and decodes each group as one
+            # stacked numpy op instead of a per-image Python loop;
+            # bit-identical values, r7 measurement in BENCH/BASELINE.md)
+            blobs = [bytes(b) for b in pdf["bytes"]]
+            data = np.frombuffer(b"".join(blobs), dtype=np.uint8)
+            lens = np.fromiter((len(b) for b in blobs), dtype=np.int64,
+                               count=n_img)
+            offsets = np.concatenate(([0], np.cumsum(lens)))
+            vals, blas, blos = ic.block_means_batch(
+                data, offsets, lat, lon, grid)
             cells = to_cell(blas.reshape(-1), blos.reshape(-1))
             yield pd.DataFrame({
                 "image_id": np.repeat(pdf["image_id"].to_numpy(), n),
@@ -1835,6 +1840,31 @@ def _open_parquet(path: str):
     return pq.ParquetFile(fs.open_input_file(p))
 
 
+def _read_parquet_table(path: str, columns: list):
+    """Whole-file single-threaded read (each Spark task is already one
+    core; pyarrow's own pool would oversubscribe).  Measured ~30%
+    faster than iter_batches on the bench image files (r7)."""
+    import pyarrow.parquet as pq
+    fs, p = _fs_and_path(path)
+    return pq.read_table(p, columns=columns, filesystem=fs,
+                         use_threads=False)
+
+
+def _binary_np(arr):
+    """(data uint8, offsets int64) view of an Arrow Binary/LargeBinary
+    array without materializing per-row Python bytes.  None when the
+    array has nulls (caller falls back to the per-row path)."""
+    import pyarrow as pa
+    if arr.null_count:
+        return None
+    bufs = arr.buffers()
+    odt = np.int64 if pa.types.is_large_binary(arr.type) else np.int32
+    offsets = np.frombuffer(bufs[1], dtype=odt)[
+        arr.offset: arr.offset + len(arr) + 1]
+    data = np.frombuffer(bufs[2], dtype=np.uint8)
+    return data, offsets.astype(np.int64)
+
+
 def image_blocks_direct(spark, parquet_path: str, grid: int = 4,
                         res: int = KNN_RES) -> DataFrame:
     """Direct-scan variant of image_blocks for byte-heavy tables: Spark
@@ -1858,40 +1888,113 @@ def image_blocks_direct(spark, parquet_path: str, grid: int = 4,
     files_df = spark.createDataFrame([(f,) for f in files], "path string") \
                     .repartition(n_parts)
     gr, gc = np.meshgrid(np.arange(grid), np.arange(grid), indexing="ij")
-    gr, gc = gr.reshape(-1), gc.reshape(-1)
+    gr = gr.reshape(-1).astype(np.int32)
+    gc = gc.reshape(-1).astype(np.int32)
 
     def gen(batches):
-        for pdf in batches:
-            for path in pdf["path"]:
-                pf = _open_parquet(path)
-                for rb in pf.iter_batches(columns=["image_id", "bytes", "phash"],
-                                          batch_size=4096):
-                    sub = rb.to_pandas()
-                    lat, lon = ic.geotag_from_phash(sub["phash"].to_numpy(np.int64))
-                    n_img = len(sub)
-                    n = grid * grid
-                    vals = np.empty((n_img, n))
-                    blas = np.empty((n_img, n))
-                    blos = np.empty((n_img, n))
-                    for i, b in enumerate(sub["bytes"]):
-                        vals[i], bh, bw = ic.block_means(
-                            ic.decode_image(bytes(b)), grid)
-                        blas[i], blos[i] = ic.block_centers(
-                            lat[i], lon[i], bh, bw, grid)
-                    yield pd.DataFrame({
-                        "image_id": np.repeat(sub["image_id"].to_numpy(), n),
-                        "cell": cx.cell_id(blas.reshape(-1), blos.reshape(-1), res),
-                        "block_row": np.tile(gr, n_img),
-                        "block_col": np.tile(gc, n_img),
-                        "mean_intensity": vals.reshape(-1)})
+        # mapInArrow: the decode stays numpy end-to-end — image bytes
+        # are sliced straight out of the Arrow data buffer (no per-row
+        # Python bytes objects) and the output batch is assembled as
+        # Arrow arrays (no pandas block manager in the hot loop)
+        import pyarrow as pa
+        n = grid * grid
+        for rb_in in batches:
+            for path in rb_in.column(0).to_pylist():
+                for rb, cells, vals, n_img in _decoded_tile_batches(
+                        path, grid, res):
+                    idx = pa.array(np.repeat(
+                        np.arange(n_img, dtype=np.int64), n))
+                    yield pa.RecordBatch.from_arrays([
+                        rb.column(0).take(idx),
+                        pa.array(cells),
+                        pa.array(np.tile(gr, n_img)),
+                        pa.array(np.tile(gc, n_img)),
+                        pa.array(vals.reshape(-1)),
+                    ], schema=pa.schema([
+                        pa.field("image_id", pa.string()),
+                        pa.field("cell", pa.int64()),
+                        pa.field("block_row", pa.int32()),
+                        pa.field("block_col", pa.int32()),
+                        pa.field("mean_intensity", pa.float64()),
+                    ]))
 
-    return files_df.mapInPandas(gen, TILE_SCHEMA)
+    return files_df.mapInArrow(gen, TILE_SCHEMA)
+
+
+def _decoded_tile_batches(path: str, grid: int, res: int):
+    """Per record batch of one parquet file: (arrow batch, flat cell
+    ids (n_img*grid^2,), flat block means, n_img)."""
+    tbl = _read_parquet_table(path, ["image_id", "bytes", "phash"])
+    for rb in tbl.to_batches():
+        n_img = rb.num_rows
+        if n_img == 0:
+            continue
+        ph = rb.column(2).to_numpy()
+        lat, lon = ic.geotag_from_phash(ph.astype(np.int64, copy=False))
+        bb = _binary_np(rb.column(1))
+        if bb is not None:
+            data, offsets = bb
+        else:  # nulls: materialize and re-pack
+            blobs = [bytes(b) for b in rb.column(1).to_pylist()]
+            data = np.frombuffer(b"".join(blobs), dtype=np.uint8)
+            lens = np.fromiter((len(b) for b in blobs),
+                               dtype=np.int64, count=n_img)
+            offsets = np.concatenate(([0], np.cumsum(lens)))
+        vals, blas, blos = ic.block_means_batch(data, offsets, lat, lon,
+                                                grid)
+        cells = cx.cell_id(blas.reshape(-1), blos.reshape(-1), res)
+        yield rb, cells, vals, n_img
 
 
 def tile_assignment_direct(spark, parquet_path: str, grid: int = 4,
                            res: int = KNN_RES) -> DataFrame:
-    blocks = image_blocks_direct(spark, parquet_path, grid, res)
-    return (blocks.groupBy("cell")
-            .agg(F.count("*").alias("n_blocks"),
-                 F.countDistinct("image_id").alias("n_images"),
-                 F.avg("mean_intensity").alias("avg_intensity")))
+    """tile_assignment over a parquet path via the direct scan, with
+    the per-(cell, image) partial aggregation done INSIDE the Python
+    task (guide §2.3 'aggregate before you shuffle'): every image's
+    blocks live in exactly one task (files are never split), so
+    grouping blocks by (cell, image) locally is exact — n_images
+    becomes a plain count of the partial rows and the image_id string
+    column never crosses the Python->JVM boundary at all (r7: output
+    rows drop ~2x, the countDistinct Expand disappears from the plan).
+    avg_intensity = sum/count is the same weighted mean as
+    avg(mean_intensity), differing only in float summation order."""
+    files = _list_parquet_files(parquet_path)
+    if not files:
+        raise ValueError(f"no parquet files under {parquet_path}")
+    n_parts = min(len(files), 2 * spark.sparkContext.defaultParallelism)
+    files_df = spark.createDataFrame([(f,) for f in files], "path string") \
+                    .repartition(n_parts)
+    g2 = grid * grid
+
+    def gen(batches):
+        import pyarrow as pa
+        schema = pa.schema([
+            pa.field("cell", pa.int64()),
+            pa.field("nb", pa.int64()),
+            pa.field("s", pa.float64()),
+        ])
+        for rb_in in batches:
+            for path in rb_in.column(0).to_pylist():
+                for _rb, cells, vals, n_img in _decoded_tile_batches(
+                        path, grid, res):
+                    img = np.repeat(np.arange(n_img, dtype=np.int64), g2)
+                    order = np.lexsort((cells, img))
+                    ck = cells[order]
+                    ik = img[order]
+                    v = vals.reshape(-1)[order]
+                    new = np.empty(len(ck), dtype=bool)
+                    new[0] = True
+                    new[1:] = (ck[1:] != ck[:-1]) | (ik[1:] != ik[:-1])
+                    gstart = np.nonzero(new)[0]
+                    yield pa.RecordBatch.from_arrays([
+                        pa.array(ck[gstart]),
+                        pa.array(np.diff(np.append(gstart, len(ck)))
+                                   .astype(np.int64)),
+                        pa.array(np.add.reduceat(v, gstart)),
+                    ], schema=schema)
+
+    partial = files_df.mapInArrow(gen, "cell long, nb long, s double")
+    return (partial.groupBy("cell")
+            .agg(F.sum("nb").alias("n_blocks"),
+                 F.count("*").alias("n_images"),
+                 (F.sum("s") / F.sum("nb")).alias("avg_intensity")))

@@ -146,3 +146,50 @@ def test_phash64_engine_independent_goldens():
     waves = np.stack([(x * y) % 251, (x * 13 + y * 29) % 256,
                       (x + 3 * y) % 199], axis=2).astype(np.uint8)
     assert ic.phash64(waves) == -2703612752882239487
+
+
+def test_block_means_batch_bit_identical_to_per_image():
+    """The r7 batched decode kernel (block_means_batch) must produce
+    BIT-identical block values/centers to the per-image
+    decode_image -> block_means -> block_centers sequence: the tile
+    oracle fixture rounds avg_intensity to 6 digits, which only
+    tolerates aggregation-order noise, not per-block value drift."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    blobs, lats, lons = [], [], []
+    # mixed formats and dims, including non-multiple-of-8 and h < grid
+    cases = [("raw", 16, 16), ("rle", 32, 16), ("qdct", 24, 40),
+             ("raw", 64, 64), ("qdct", 64, 128), ("rle", 64, 64),
+             ("qdct", 64, 64), ("raw", 24, 40), ("qdct", 16, 16)]
+    for s, (fmt, w, h) in enumerate(cases * 3):
+        px = ic.gen_pixels(s, w, h)
+        blobs.append(ic.encode_image(px, fmt))
+        lats.append(float(rng.uniform(-60, 60)))
+        lons.append(float(rng.uniform(-170, 170)))
+    lats = np.array(lats)
+    lons = np.array(lons)
+    data = np.frombuffer(b"".join(blobs), dtype=np.uint8)
+    lens = np.array([len(b) for b in blobs], dtype=np.int64)
+    offsets = np.concatenate(([0], np.cumsum(lens)))
+    for grid in (4, 3):
+        vals, blas, blos = ic.block_means_batch(
+            data, offsets, lats, lons, grid)
+        for i, b in enumerate(blobs):
+            v_ref, bh, bw = ic.block_means(ic.decode_image(b), grid)
+            la_ref, lo_ref = ic.block_centers(
+                lats[i], lons[i], bh, bw, grid)
+            assert np.array_equal(vals[i], v_ref.astype(np.float64))
+            assert np.array_equal(blas[i], la_ref)
+            assert np.array_equal(blos[i], lo_ref)
+
+
+def test_block_means_batch_rejects_unknown_magic():
+    import numpy as np
+    import pytest
+
+    bad = b"XXXX" + bytes(8)
+    data = np.frombuffer(bad, dtype=np.uint8)
+    with pytest.raises(ValueError, match="magic"):
+        ic.block_means_batch(data, np.array([0, len(bad)]),
+                             np.zeros(1), np.zeros(1), 4)
