@@ -124,6 +124,56 @@ def _shingle_hashes():
     return _shingle_hashes_from(_shingles())
 
 
+_MH_A_NP = np.array(MINHASH_A, dtype=np.int64)[None, :]
+_MH_B_NP = np.array(MINHASH_B, dtype=np.int64)[None, :]
+
+
+@F.pandas_udf(T.StructType([
+    T.StructField("sh", T.ArrayType(T.StringType())),
+    T.StructField("mh", T.ArrayType(T.LongType()))]))
+def _shingle_mh(toks: pd.Series) -> pd.DataFrame:
+    """Fused shingle + hash + minhash stage over JVM-tokenized arrays
+    (r7, guide §4.2): builds the distinct 3-gram strings, their md5
+    60-bit hashes and the K permutation minima in one Python pass.
+    Token semantics stay JVM-side (_tokens()); everything here is
+    byte-exact string joins + md5, so the output is element-identical
+    to the _shingles()/_hash60/_minhash_cols expression chain (the
+    JVM HOF chain was the measured hot spot: ~4.6 s of interpreted
+    zip_with/array_distinct per 50k docs vs ~1 s for this stage).
+    dict.fromkeys preserves first-occurrence order like
+    array_distinct; a null token array maps to sh=[null], mh=null —
+    the exact null chain the JVM expressions produce."""
+    import hashlib
+
+    shs: list = []
+    mhs: list = []
+    for t in toks:
+        if t is None:
+            shs.append([None])
+            mhs.append(None)
+            continue
+        t = list(t)
+        n = len(t)
+        if n >= SHINGLE_N:
+            sh = list(dict.fromkeys(
+                t[i] + " " + t[i + 1] + " " + t[i + 2]
+                for i in range(n - 2)))
+        else:
+            sh = [" ".join(t)]
+        hs = np.fromiter(
+            (int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+             % MINHASH_PRIME for s in sh if s is not None),
+            dtype=np.int64)
+        shs.append(sh)
+        if len(hs) == 0:
+            mhs.append(None)
+        else:
+            mhs.append(
+                ((hs[:, None] * _MH_A_NP + _MH_B_NP) % MINHASH_PRIME)
+                .min(axis=0))
+    return pd.DataFrame({"sh": shs, "mh": mhs})
+
+
 def exact_dedup(docs: DataFrame) -> DataFrame:
     """(text_md5, rep_doc_id, n_dups): duplicate groups by exact content
     hash; representative = smallest doc_id."""
@@ -169,24 +219,41 @@ def minhash_lsh_pairs(docs: DataFrame, tau: float = 0.5) -> DataFrame:
     before the LSH self-join and the verified pairs expanded back
     through group membership (within-group pairs have jaccard exactly
     1.0; cross-group pairs inherit the representatives' jaccard since
-    identical text means identical shingle sets).  Shingles are
-    computed ONCE into a persisted base reused by the signature pass
-    and both sides of the verify join; at a 100 TB scale this persist
-    becomes a TableIO stage checkpoint.  The returned pair set is
-    eagerly materialized and the shingle base unpersisted (no cache
-    entries outlive the call)."""
+    identical text means identical shingle sets).  Shingles AND the K
+    permutation minima are computed ONCE (fused _shingle_mh stage)
+    into a persisted base reused by the banding pass and both sides
+    of the verify join; at a 100 TB scale this persist becomes a
+    TableIO stage checkpoint.  The group-membership table is also
+    persisted — it feeds four expansion subtrees that would otherwise
+    each recompute the md5-groupBy chain (r7: that recomputation was
+    ~1/3 of the operator's wall).  The returned pair set is eagerly
+    materialized and both caches unpersisted (no cache entries
+    outlive the call)."""
     keyed = docs.select(F.md5("text").alias("tkey"), "doc_id")
     reps = keyed.groupBy("tkey").agg(F.min("doc_id").alias("rep_id"))
-    mem = keyed.join(reps, "tkey").select("rep_id", "doc_id")
+    mem = keyed.join(reps, "tkey").select("rep_id", "doc_id").persist()
 
     rep_docs = docs.join(
-        reps.select(F.col("rep_id").alias("doc_id")), "doc_id", "leftsemi")
-    base = rep_docs.select("doc_id", _shingles().alias("sh")).persist()
+        mem.select(F.col("rep_id").alias("doc_id")).distinct(),
+        "doc_id", "leftsemi")
+    # the fused shingle stage is the operator's CPU; a small/packed
+    # corpus (one parquet file = one scan split) would otherwise run
+    # it on a single core (r7: the whole 50k-doc stage sat on 1 of 32
+    # slots).  Only widen — an already well-partitioned corpus never
+    # pays a text shuffle for this.
+    # probe the SCAN's split count (cheap plan), not the join's — the
+    # semijoin preserves the scan partitioning and converting the
+    # joined plan to an RDD just to count partitions cost ~0.5 s
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        rep_docs = rep_docs.repartition(2 * par)
+    base = rep_docs.select(
+        "doc_id", _shingle_mh(_tokens()).alias("smh")
+    ).select("doc_id", F.col("smh.sh").alias("sh"),
+             F.col("smh.mh").alias("mh")).persist()
 
-    # compute hashes from the persisted shingles, not from raw text
-    sig = base.select(
-        "doc_id", _shingle_hashes_from(F.col("sh")).alias("shh")
-    ).select("doc_id", *_minhash_cols("shh"))
+    sig = base.select("doc_id", *[
+        F.col("mh")[i].alias(f"mh_{i}") for i in range(MINHASH_K)])
 
     banded = _band_rows(sig)
     a = banded.alias("a")
@@ -217,14 +284,14 @@ def minhash_lsh_pairs(docs: DataFrame, tau: float = 0.5) -> DataFrame:
                      F.greatest("a", "b").alias("doc_b"),
                      "jaccard"))
     if tau > 1.0:   # identical texts (jaccard exactly 1.0) can't pass
-        return _eager_release(cross, base)
+        return _eager_release(cross, base, mem)
     wa = mem.select("rep_id", F.col("doc_id").alias("a"))
     wb = mem.select(F.col("rep_id").alias("rep_b"), F.col("doc_id").alias("b"))
     within = (wa.join(wb, (F.col("rep_id") == F.col("rep_b"))
                       & (F.col("a") < F.col("b")))
               .select(F.col("a").alias("doc_a"), F.col("b").alias("doc_b"),
                       F.lit(1.0).alias("jaccard")))
-    return _eager_release(cross.unionByName(within), base)
+    return _eager_release(cross.unionByName(within), base, mem)
 
 
 # ---------------------------------------------------------------------------

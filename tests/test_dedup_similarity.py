@@ -504,3 +504,43 @@ def test_ann_lsh_params_targets_recall(spark):
     recall = sum(p in got_pairs for p in want_pairs) / len(want_pairs)
     # the independence model is approximate; allow modest slack
     assert recall >= 0.7, recall
+
+
+def test_fused_shingle_mh_stage_matches_jvm_expression_chain(spark):
+    """The r7 fused Python stage (_shingle_mh: shingles + md5 hashes +
+    K permutation minima in one pass) must be element-identical to the
+    JVM expression chain it replaced (_shingles -> _hash60 ->
+    _minhash_cols), including the short-doc fallback, dedup order and
+    empty/whitespace edge cases."""
+    from pyspark.sql import functions as F
+
+    from pbf2json_spark.operators import dedup as dd
+
+    rows = [
+        ("d1", "the quick brown fox jumps over the lazy dog"),
+        ("d2", "one two"),                       # < N tokens
+        ("d3", "solo"),                          # single token
+        ("d4", ""),                              # empty text
+        ("d5", "  padded   whitespace  text here and there  "),
+        ("d6", "rep rep rep rep rep rep"),       # duplicate shingles
+        ("d7", "a b c a b c a b c d"),           # dedup keeps first order
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+
+    jvm = docs.select(
+        "doc_id", dd._shingles().alias("sh"),
+        dd._shingle_hashes_from(dd._shingles()).alias("shh"))
+    jvm = jvm.select("doc_id", "sh", *dd._minhash_cols("shh")) \
+             .orderBy("doc_id").collect()
+    py = docs.select(
+        "doc_id", dd._shingle_mh(dd._tokens()).alias("smh")) \
+        .select("doc_id", F.col("smh.sh").alias("sh"),
+                *[F.col("smh.mh")[i].alias(f"mh_{i}")
+                  for i in range(dd.MINHASH_K)]) \
+        .orderBy("doc_id").collect()
+    assert len(jvm) == len(py)
+    for a, b in zip(jvm, py):
+        assert a["doc_id"] == b["doc_id"]
+        assert a["sh"] == b["sh"], a["doc_id"]
+        for i in range(dd.MINHASH_K):
+            assert a[f"mh_{i}"] == b[f"mh_{i}"], (a["doc_id"], i)
