@@ -80,6 +80,46 @@ def cell_id_col(lat: Column, lon: Column, res: int) -> Column:
     return F.shiftleft(F.lit(res).cast("long"), 54).bitwiseOR(morton)
 
 
+def cells_array_col(lat: Column, lon: Column, levels: tuple) -> Column:
+    """array<long> of equirect cell ids at `levels`, element-identical
+    to [cell_id_col(lat, lon, L) for L in levels] but ~5x cheaper for
+    multi-level key builds (r7): the floor/clamp/Morton-spread chain
+    runs ONCE at the finest level and every other level is 2 bit ops.
+
+    Exactness argument (pinned in tests/test_s2cells.py): scaling a
+    double by a power of two is lossless, so
+    floor(x * 2^l) == floor(x * 2^f) >> (f - l) for x >= 0, and the
+    per-level clamps commute with the shift (all-ones shifts to
+    all-ones, zero to zero); quadtree Morton codes nest, so
+    morton_l == morton_f >> 2*(f - l)."""
+    for L in levels:
+        if not 0 <= L <= MAX_RES:
+            raise ValueError(f"levels must be in [0, {MAX_RES}]")
+    finest = max(levels)
+    morton_f = equirect_morton_col(lat, lon, finest)
+    return F.array(*[
+        F.shiftleft(F.lit(L).cast("long"), 54).bitwiseOR(
+            F.shiftright(morton_f, 2 * (finest - L)))
+        for L in levels])
+
+
+def equirect_morton_col(lat: Column, lon: Column, res: int) -> Column:
+    """Untagged equirect Morton code at `res` (cell_id_col without the
+    level tag): the shared single chain that multi-level key builds
+    shift per level."""
+    nlat, nlon = 1 << res, 2 << res
+    i = F.least(
+        F.greatest(F.floor((lat + F.lit(90.0)) / F.lit(180.0)
+                           * F.lit(float(nlat))), F.lit(0)),
+        F.lit(nlat - 1)).cast("long")
+    j = F.least(
+        F.greatest(F.floor(F.pmod((lon + F.lit(180.0)) / F.lit(360.0),
+                                  F.lit(1.0)) * F.lit(float(nlon))),
+                   F.lit(0)),
+        F.lit(nlon - 1)).cast("long")
+    return _part1by1_col(j).bitwiseOR(F.shiftleft(_part1by1_col(i), 1))
+
+
 # ---------------------------------------------------------------------------
 # quad-sphere ("s2") family twin
 # ---------------------------------------------------------------------------

@@ -423,6 +423,14 @@ BRUTE_OPS_BUDGET = 2_000_000_000
 import weakref
 
 _DENSITY_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+# packed brute-scan point store (ids + unit xyz + its broadcast),
+# memoized per input points DataFrame exactly like _DENSITY_CACHE: an
+# interactive caller issuing repeated knn() calls over the same corpus
+# re-collected and re-broadcast ~20 MB per call (r7: ~0.5 s/call at
+# 300k points).  Same staleness contract — the store is a pure
+# function of the DataFrame object; the broadcast is released when
+# the caller drops the corpus DataFrame.
+_BRUTE_STORE_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 # constructed equirect multi-level cell expressions keyed by the
 # levels tuple (the s2 family's array is rebuilt per call — it is a
@@ -438,9 +446,12 @@ _CELLS_EXPR_CACHE: dict = {}
 def _cells_expr(levels: tuple):
     expr = _CELLS_EXPR_CACHE.get(levels)
     if expr is None:
-        from ..functions.cellsql import cell_id_col
-        expr = F.array(*[cell_id_col(F.col("p_lat"), F.col("p_lon"), L)
-                         for L in levels])
+        # one finest-level floor/Morton chain + 2 bit ops per extra
+        # level (cells_array_col) — the per-level cell_id_col array
+        # was the measured bulk of the round-0 key-build scan (r7)
+        from ..functions.cellsql import cells_array_col
+        expr = cells_array_col(F.col("p_lat"), F.col("p_lon"),
+                               tuple(levels))
         _CELLS_EXPR_CACHE[levels] = expr
     return expr
 
@@ -530,7 +541,8 @@ def _topk_merge(best_d, best_i, qla, qlo, qxyz, pla, plo, ids, pxyz, k):
 
 
 def _brute_force_knn(pts: DataFrame, remaining: pd.DataFrame, k: int,
-                     point_id: str, n_points: int | None = None) -> DataFrame:
+                     point_id: str, n_points: int | None = None,
+                     cache_key: DataFrame | None = None) -> DataFrame:
     """Exact kNN for queries the cell index can't help (sparse regions).
 
     Two shapes by corpus size:
@@ -558,12 +570,23 @@ def _brute_force_knn(pts: DataFrame, remaining: pd.DataFrame, k: int,
     # store carries fst scratch columns that must not ship here
     pts = pts.select(point_id, "p_lat", "p_lon")
     if n_points <= BRUTE_BCAST_MAX_POINTS:
-        pts_pdf = pts.toPandas()
-        pla = pts_pdf["p_lat"].to_numpy(np.float64)
-        plo = pts_pdf["p_lon"].to_numpy(np.float64)
-        ids = pts_pdf[point_id].to_numpy()
-        pxyz = _unit_xyz(pla, plo)
-        store = spark.sparkContext.broadcast((pla, plo, ids, pxyz))
+        store = None
+        if cache_key is not None:
+            hit = _BRUTE_STORE_CACHE.get(cache_key)
+            if hit is not None and hit[0] == point_id:
+                store = hit[1]
+        if store is None:
+            pts_pdf = pts.toPandas()
+            pla = pts_pdf["p_lat"].to_numpy(np.float64)
+            plo = pts_pdf["p_lon"].to_numpy(np.float64)
+            ids = pts_pdf[point_id].to_numpy()
+            pxyz = _unit_xyz(pla, plo)
+            store = spark.sparkContext.broadcast((pla, plo, ids, pxyz))
+            if cache_key is not None:
+                try:
+                    _BRUTE_STORE_CACHE[cache_key] = (point_id, store)
+                except TypeError:
+                    pass  # object not weak-referenceable
         par = spark.sparkContext.defaultParallelism
         qdf = spark.createDataFrame(
             remaining[["query_id", "lat", "lon"]],
@@ -895,9 +918,29 @@ def knn(points: DataFrame, queries: DataFrame, k: int,
             return pts.select(
                 F.col(point_id), "p_lat", "p_lon",
                 F.posexplode(arr).alias("lvl", "cell"))
-        return pts.select(
-            F.col(point_id), "p_lat", "p_lon",
-            F.posexplode(_cells_expr(tuple(levels))).alias("lvl", "cell"))
+        # explode a CONSTANT level array and derive each level's cell
+        # from one codegen'd finest-level Morton column AFTER the
+        # Generate: posexplode over a non-foldable array inlines the
+        # whole key expression into the Generate (and its inferred
+        # size()>0 filter), where it is re-evaluated interpreted per
+        # row — the measured bulk of the round-0 key-build scan (r7:
+        # 1.5 s -> ~0.15 s on the 300k-point bench store).  The
+        # per-level shift is exact: doubles scale by powers of two
+        # losslessly and Morton prefixes nest (cells_array_col note).
+        from ..functions.cellsql import equirect_morton_col
+        finest = int(max(levels))
+        lvl_arr = F.array(*[F.lit(int(L)).cast("int") for L in levels])
+        cell = F.shiftleft(F.col("_L").cast("long"), 54).bitwiseOR(
+            F.call_function(
+                "shiftright", F.col("_mf"),
+                (F.lit(2 * finest) - F.col("_L") * 2).cast("int")))
+        return (pts
+                .withColumn("_mf", equirect_morton_col(
+                    F.col("p_lat"), F.col("p_lon"), finest))
+                .select(F.col(point_id), "p_lat", "p_lon", "_mf",
+                        F.posexplode(lvl_arr).alias("lvl", "_L"))
+                .select(F.col(point_id), "p_lat", "p_lon", "lvl",
+                        cell.alias("cell")))
 
     pts_ml = build_pts_ml(levels_used)
     pts_ml_persisted = False
@@ -1066,7 +1109,7 @@ def knn(points: DataFrame, queries: DataFrame, k: int,
         trace["n_brute_queries"] = int(len(remaining))
     if not remaining.empty:
         brute_df = _brute_force_knn(pts, remaining, k, point_id,
-                                    n_points=n_points)
+                                    n_points=n_points, cache_key=points)
         _mark("brute_prep")  # eager part: pts.toPandas + sc.broadcast
         if trace is not None:
             # trace-only barrier: split the brute scan out of the final
