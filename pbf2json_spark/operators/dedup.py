@@ -83,6 +83,16 @@ def _eager_release(result: DataFrame, *bases: DataFrame) -> DataFrame:
     return result
 
 
+def _verify_partitions(docs: DataFrame) -> int:
+    """Partition count for the pairwise-verify stages: enough to use
+    every core (the verify is per-row compute over fat arrays, which
+    byte-based AQE coalescing under-parallelizes), scaling with the
+    session's shuffle setting on a real cluster."""
+    spark = docs.sparkSession
+    return max(2 * spark.sparkContext.defaultParallelism,
+               int(spark.conf.get("spark.sql.shuffle.partitions", "200")))
+
+
 def _tokens():
     return F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")
 
@@ -241,11 +251,17 @@ def minhash_lsh_pairs(docs: DataFrame, tau: float = 0.5) -> DataFrame:
     # it on a single core (r7: the whole 50k-doc stage sat on 1 of 32
     # slots).  Only widen — an already well-partitioned corpus never
     # pays a text shuffle for this.
-    # probe the SCAN's split count (cheap plan), not the join's — the
-    # semijoin preserves the scan partitioning and converting the
-    # joined plan to an RDD just to count partitions cost ~0.5 s
+    # probe the SCAN's width cheaply: inputFiles() is metadata-only,
+    # while converting a plan to an RDD just to count partitions cost
+    # ~0.5 s of driver time.  A file-backed corpus with >= par files
+    # is already wide; non-file-backed frames fall back to the RDD
+    # probe (never blind-repartition a corpus-sized frame).
     par = docs.sparkSession.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < par:
+    try:
+        n_splits = len(docs.inputFiles()) or docs.rdd.getNumPartitions()
+    except Exception:
+        n_splits = docs.rdd.getNumPartitions()
+    if n_splits < par:
         rep_docs = rep_docs.repartition(2 * par)
     base = rep_docs.select(
         "doc_id", _shingle_mh(_tokens()).alias("smh")
@@ -265,9 +281,20 @@ def minhash_lsh_pairs(docs: DataFrame, tau: float = 0.5) -> DataFrame:
                      F.col("b.doc_id").alias("doc_b"))
              .distinct())
 
+    # spread the exact-jaccard evaluation (guide §2.5): AQE coalesces
+    # the verify join by shuffle BYTES, but candidate rows are skinny
+    # while the per-row set intersection over the attached shingle
+    # arrays is compute-heavy — the event-log profile showed ALL 138k
+    # verifications packed into 2 tasks (2.9 s straggler).  The
+    # explicit hash repartition BETWEEN the joins pins the second
+    # join's stage (where the jaccard + filter live and below which
+    # they cannot be pushed) at full parallelism; a repartition AFTER
+    # the join is useless — the optimizer pushes the deterministic
+    # filter (and the jaccard it needs) straight through it.
     j = (cand
          .join(base.select(F.col("doc_id").alias("doc_a"),
                            F.col("sh").alias("sh_a")), "doc_a")
+         .repartition(_verify_partitions(docs), "doc_b")
          .join(base.select(F.col("doc_id").alias("doc_b"),
                            F.col("sh").alias("sh_b")), "doc_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
@@ -327,9 +354,13 @@ def ngram_jaccard_pairs(docs: DataFrame, tau: float = 0.3,
                    & (F.col("ptok") == F.col("ptok_b"))
                    & (F.col("doc_a") < F.col("doc_b")))
             .select("doc_a", "doc_b").distinct())
+    # same verify-stage spreading as minhash_lsh_pairs (AQE coalesces
+    # skinny pair rows into too few compute-heavy tasks; the explicit
+    # hash repartition must sit BETWEEN the joins — see the note there)
     j = (cand
          .join(base.select(F.col("doc_id").alias("doc_a"),
                            F.col("sh").alias("sh_a")), "doc_a")
+         .repartition(_verify_partitions(docs), "doc_b")
          .join(base.select(F.col("doc_id").alias("doc_b"),
                            F.col("sh").alias("sh_b")), "doc_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
