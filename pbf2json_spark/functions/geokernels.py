@@ -286,6 +286,69 @@ def raycast_contains(ring_lats, ring_lons, pt_lats, pt_lons):
 # convention).
 # ---------------------------------------------------------------------------
 
+def build_stacked_edges(pieces_by_id: dict,
+                        max_padded_edges: int = 1 << 22):
+    """Pad every polygon's ring pieces into stacked edge arrays for a
+    single vectorized even-odd pass over a MIXED-polygon candidate
+    batch (r7): `pieces_by_id` maps poly_id -> [(ring_lats, ring_lons),
+    ...] canonical pieces.  Returns (slot, X1, Y1, X2, Y2) where
+    slot[poly_id] is the row index, or None when zero-padding would
+    blow up memory (pathological vertex-count mix) — callers fall
+    back to the per-polygon loop.
+
+    Exactness: per-edge crossing tests are the same float ops as
+    raycast_contains; padded edges are degenerate (y1 == y2 == 0, no
+    crossing for any point); crossing counts are integer sums, so the
+    parity over a polygon's concatenated DISJOINT pieces equals the
+    OR of the per-piece parities (a point lies in at most one piece).
+    Pinned against the per-piece path in tests."""
+    ids = sorted(pieces_by_id)
+    if not ids:
+        return None
+    edge_sets = []
+    for pid in ids:
+        xs1, ys1, xs2, ys2 = [], [], [], []
+        for rla, rlo in pieces_by_id[pid]:
+            rla = np.asarray(rla, dtype=np.float64)
+            rlo = np.asarray(rlo, dtype=np.float64)
+            if rla.size > 1 and rla[0] == rla[-1] and rlo[0] == rlo[-1]:
+                rla, rlo = rla[:-1], rlo[:-1]
+            xs1.append(rlo)
+            ys1.append(rla)
+            xs2.append(np.roll(rlo, -1))
+            ys2.append(np.roll(rla, -1))
+        edge_sets.append(tuple(np.concatenate(a) for a in
+                               (xs1, ys1, xs2, ys2)))
+    emax = max(len(e[0]) for e in edge_sets)
+    if len(ids) * emax > max_padded_edges:
+        return None
+    shape = (len(ids), emax)
+    X1, Y1, X2, Y2 = (np.zeros(shape) for _ in range(4))
+    for i, (x1, y1, x2, y2) in enumerate(edge_sets):
+        n = len(x1)
+        X1[i, :n] = x1
+        Y1[i, :n] = y1
+        X2[i, :n] = x2
+        Y2[i, :n] = y2
+    return {pid: i for i, pid in enumerate(ids)}, X1, Y1, X2, Y2
+
+
+def raycast_contains_stacked(tables, codes, pt_lats, pt_lons):
+    """Vectorized even-odd containment for a batch of (point, polygon)
+    candidates: `tables` from build_stacked_edges, `codes` the per-row
+    slot indices.  Bit-identical crossing tests to raycast_contains."""
+    _slot, X1, Y1, X2, Y2 = tables
+    px = np.asarray(pt_lons, dtype=np.float64)[:, None]
+    py = np.asarray(pt_lats, dtype=np.float64)[:, None]
+    x1, y1, x2, y2 = X1[codes], Y1[codes], X2[codes], Y2[codes]
+    cond = (y1 > py) != (y2 > py)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = x1 + (py - y1) * (x2 - x1) / np.where(y2 == y1, np.inf,
+                                                     y2 - y1)
+    crossings = np.sum(cond & (px < xint), axis=1)
+    return (crossings % 2).astype(bool)
+
+
 def ring_is_canonical(ring_lats, ring_lons) -> bool:
     """True iff the ring is a canonical lat/lon-plane polygon: all lons
     in [-180, 180] and no edge (including the implied closing edge)

@@ -70,6 +70,26 @@ KNN_MAX_QUERIES = 1_000_000
 # geo attachment
 # ---------------------------------------------------------------------------
 
+def _python_stage_parts(df: DataFrame, target_bytes: int = 8 << 20):
+    """Partition count that right-sizes a Python (Arrow) stage over
+    `df`-derived rows: ceil(estimated bytes / target), floored at one
+    task per core (guide §2 — derive partitioning from input size).
+    A slim projection of a byte-heavy table inherits the parent's
+    partitioning (70 KB partitions at the bench's 300k-point geo view),
+    and every Arrow task pays a fixed dispatch cost, so tiny
+    partitions are pure overhead on any cluster.  Returns None when
+    the estimate is unavailable; callers then leave the partitioning
+    alone.  Used with coalesce(), which only ever REDUCES — a
+    corpus-sized input keeps its scan partitioning."""
+    try:
+        est = int(df._jdf.queryExecution().optimizedPlan()
+                  .stats().sizeInBytes())
+    except Exception:
+        return None
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return int(max(par, -(-est // target_bytes)))
+
+
 def make_geo_udf(res_list=(DEFAULT_RES,), s2_levels=()):
     fields = [T.StructField("lat", T.DoubleType()),
               T.StructField("lon", T.DoubleType())]
@@ -205,10 +225,16 @@ def point_in_polygon(points: DataFrame, polygons: DataFrame,
     # ship the ring geometry once per executor, not once per task
     rings_bc = spark.sparkContext.broadcast(rings)
 
-    cand = points.select(
+    pts_slim = points.select(
         F.col(point_id), "lat", "lon",
-        F.col(cell_col).alias("cell"),
-    ).join(F.broadcast(cover), "cell").drop("cell")
+        F.col(cell_col).alias("cell"))
+    # right-size the refine's Arrow stage from the slim point view's
+    # estimated bytes (not the byte-heavy parent's partitioning) —
+    # coalesce only reduces, so a corpus-scale input is untouched
+    n_refine = _python_stage_parts(pts_slim)
+    if n_refine is not None:
+        pts_slim = pts_slim.coalesce(n_refine)
+    cand = pts_slim.join(F.broadcast(cover), "cell").drop("cell")
 
     out_schema = T.StructType([
         T.StructField("poly_id", T.StringType()),
@@ -219,19 +245,32 @@ def point_in_polygon(points: DataFrame, polygons: DataFrame,
 
     def refine(batches):
         ring_map = rings_bc.value
+        # one stacked-edge table per task (r7): the per-batch
+        # per-polygon loop paid ~20 numpy calls per (batch, polygon)
+        # group — with 64 dim polygons over a couple hundred cached
+        # partitions that call overhead dominated the exact math.  One
+        # vectorized parity pass replaces the group loop; the padded
+        # table falls back to the loop on pathological vertex mixes.
+        tables = gk.build_stacked_edges(ring_map)
         for pdf in batches:
             if pdf.empty:
                 continue
             lats = pdf["lat"].to_numpy()
             lons = pdf["lon"].to_numpy()
-            keep = np.zeros(len(pdf), dtype=bool)
-            codes, uniq = pd.factorize(pdf["poly_id"])
-            for gi, pid in enumerate(uniq):
-                idx = np.nonzero(codes == gi)[0]
-                hit = np.zeros(len(idx), dtype=bool)
-                for rla, rlo in ring_map[pid]:
-                    hit |= gk.raycast_contains(rla, rlo, lats[idx], lons[idx])
-                keep[idx] = hit
+            if tables is not None:
+                codes = pdf["poly_id"].map(tables[0]).to_numpy(np.int64)
+                keep = gk.raycast_contains_stacked(tables, codes,
+                                                   lats, lons)
+            else:
+                keep = np.zeros(len(pdf), dtype=bool)
+                codes, uniq = pd.factorize(pdf["poly_id"])
+                for gi, pid in enumerate(uniq):
+                    idx = np.nonzero(codes == gi)[0]
+                    hit = np.zeros(len(idx), dtype=bool)
+                    for rla, rlo in ring_map[pid]:
+                        hit |= gk.raycast_contains(rla, rlo,
+                                                   lats[idx], lons[idx])
+                    keep[idx] = hit
             out = pdf.loc[keep, ["poly_id", point_id, "lat", "lon"]]
             yield out
 

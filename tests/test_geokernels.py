@@ -248,3 +248,46 @@ class TestRoundtrip7FastPath:
             got = gk.roundtrip7(a)
             assert np.array_equal(got, want), \
                 a[np.nonzero(got != want)[0][:3]]
+
+
+def test_stacked_raycast_matches_per_piece_or():
+    """The r7 stacked-edge refine (one parity pass over padded mixed
+    polygons) must agree with the per-piece raycast OR on every
+    candidate, including antimeridian-split pieces and mixed vertex
+    counts (padding must contribute zero crossings)."""
+    import numpy as np
+
+    rng = np.random.default_rng(77)
+    pieces_by_id = {}
+    # normal rings of different sizes
+    for i, nv in enumerate((4, 7, 12, 33)):
+        ang = np.linspace(0, 2 * np.pi, nv, endpoint=False)
+        la = 10.0 * i + 3.0 * np.sin(ang)
+        lo = 20.0 * i - 50 + 4.0 * np.cos(ang)
+        pieces_by_id[f"p{i}"] = [(la, lo)]
+    # a wrapped polygon split into two disjoint pieces
+    la = np.array([-5.0, 5.0, 5.0, -5.0])
+    pieces_by_id["wrap"] = [
+        (la, np.array([175.0, 175.0, 180.0, 180.0])),
+        (la, np.array([-180.0, -180.0, -175.0, -175.0]))]
+
+    tables = gk.build_stacked_edges(pieces_by_id)
+    assert tables is not None
+    slot = tables[0]
+
+    ids = list(pieces_by_id)
+    codes = rng.integers(0, len(ids), 5000)
+    pla = rng.uniform(-40, 40, 5000)
+    plo = rng.uniform(-180, 180, 5000)
+    slot_codes = np.array([slot[ids[c]] for c in codes])
+    got = gk.raycast_contains_stacked(tables, slot_codes, pla, plo)
+    for c in range(len(ids)):
+        m = codes == c
+        want = np.zeros(int(m.sum()), dtype=bool)
+        for rla, rlo in pieces_by_id[ids[c]]:
+            want |= gk.raycast_contains(rla, rlo, pla[m], plo[m])
+        assert np.array_equal(got[m], want), ids[c]
+    # padding blowup refuses
+    big = dict(pieces_by_id)
+    big["huge"] = [(np.zeros(3_000_000), np.zeros(3_000_000))]
+    assert gk.build_stacked_edges(big, max_padded_edges=1 << 22) is None
