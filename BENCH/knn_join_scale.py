@@ -44,7 +44,10 @@ def main():
     # candidate-join tasks hit GCLocker retry walls (268 MB single
     # allocations) and died.  Heap is a leg parameter, not an engine
     # default — a real cluster sizes executors to the data.
-    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
+    # heap/GC/executor-memory ops settings now come from
+    # build_session(profile='corpus') (VERDICT r6 #4); the env knobs
+    # (SPARK_GRAFT_DRIVER_MEM / _EXEC_MEM / _CLUSTER_DRIVER_MEM) keep
+    # working through the profile.
     # SPARK_GRAFT_MASTER=local-cluster[4,8,12288] runs the SAME leg as
     # N separate executor JVMs (true serialized shuffle over sockets,
     # per-executor heaps) — the literal "N executors vs 4N executors"
@@ -60,29 +63,17 @@ def main():
     # ~50 GB of dead probe/round shuffle files pile up on this sandbox's
     # 57 GB scratch during a 9.6M leg.  On a real cluster the same flag
     # bounds executor scratch on long-lived multi-round jobs.
-    extra = {"spark.driver.memory": mem,
-             "spark.cleaner.periodicGC.interval": "1min"}
+    extra = {}
     # SPARK_GRAFT_EXTRA_CONF="k=v;k=v" — ad-hoc conf overrides for
     # A/B experiments (e.g. AQE granularity under local-cluster)
     for kv in os.environ.get("SPARK_GRAFT_EXTRA_CONF", "").split(";"):
         if "=" in kv:
             ck, cv = kv.split("=", 1)
             extra[ck.strip()] = cv.strip()
-    if master:
-        # the master string's mem_mb slot is only the WORKER's
-        # advertised capacity — executors still request
-        # spark.executor.memory (default 1g!), so it must be set
-        # explicitly or every executor runs on a 1 GB heap no matter
-        # what the master string says (measured: 9.6M legs OOM'd in
-        # HashAggregate spill-merge with 24576 in the master string
-        # until this was set).  The driver only coordinates.
-        extra["spark.executor.memory"] = os.environ.get(
-            "SPARK_GRAFT_EXEC_MEM", "22g")
-        extra["spark.driver.memory"] = os.environ.get(
-            "SPARK_GRAFT_CLUSTER_DRIVER_MEM", "8g")
     spark = build_session(app_name=f"knn-join-{cpus}", cores=cpus,
                           shuffle_partitions=2 * cpus,
-                          master=master, extra=extra)
+                          master=master, extra=extra,
+                          profile="corpus")
     spark.sparkContext.setLogLevel(
         os.environ.get("SPARK_GRAFT_LOG_LEVEL", "ERROR"))
     if master:

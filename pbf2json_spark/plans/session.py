@@ -17,12 +17,35 @@ def build_session(app_name: str = "pbf2json-spark",
                   cores: int | None = None,
                   shuffle_partitions: int | None = None,
                   extra: dict | None = None,
-                  master: str | None = None) -> SparkSession:
+                  master: str | None = None,
+                  profile: str | None = None) -> SparkSession:
     """`master` overrides the local[cores] default — used by the
     multi-JVM scaling legs (`local-cluster[N,cores,mem_mb]`: separate
     executor JVMs + real serialized shuffle over sockets, the closest
     this sandbox gets to a cluster; `cores` then just sizes shuffle
-    partitions)."""
+    partitions).
+
+    ``profile='corpus'`` applies the hard-won settings for long,
+    multi-round corpus jobs (knn_join at millions of rows, large dedup
+    closures) that were previously buried in the BENCH leg runners
+    (VERDICT r6 #4).  Each is overridable via env or `extra`:
+
+    - ``spark.driver.memory`` from $SPARK_GRAFT_DRIVER_MEM (default
+      48g in local mode, where the driver JVM hosts the executors):
+      9.6M-point candidate-join tasks hit GCLocker retry walls on the
+      8g default.
+    - ``spark.cleaner.periodicGC.interval=1min``: shuffle files are
+      deleted only when driver GC collects the dereferenced shuffle
+      dependencies; a big heap's default 30-min cadence let ~50 GB of
+      dead per-round shuffle files pile up during one 9.6M leg.  On a
+      real cluster the same flag bounds executor scratch.
+    - under a ``local-cluster`` master, ``spark.executor.memory`` from
+      $SPARK_GRAFT_EXEC_MEM (default 22g): the master string's mem_mb
+      slot is only the worker's advertised CAPACITY — executors still
+      request spark.executor.memory (default 1g!) and OOM in
+      spill-merge no matter what the master string says; the driver
+      only coordinates, so it drops to
+      $SPARK_GRAFT_CLUSTER_DRIVER_MEM (default 8g)."""
     # single-host/sandbox environments can stall for minutes resolving the
     # machine hostname; pin local loopback before the JVM launches (no-op
     # when the user already exported a real address for cluster mode)
@@ -92,6 +115,19 @@ def build_session(app_name: str = "pbf2json-spark",
     if cores is not None:  # local mode: loopback binding avoids DNS stalls
         defaults.setdefault("spark.driver.bindAddress", "127.0.0.1")
         defaults.setdefault("spark.driver.host", "127.0.0.1")
+    if profile == "corpus":
+        defaults["spark.cleaner.periodicGC.interval"] = "1min"
+        if master is not None and master.startswith("local-cluster"):
+            defaults["spark.executor.memory"] = os.environ.get(
+                "SPARK_GRAFT_EXEC_MEM", "22g")
+            defaults["spark.driver.memory"] = os.environ.get(
+                "SPARK_GRAFT_CLUSTER_DRIVER_MEM", "8g")
+        else:
+            defaults["spark.driver.memory"] = os.environ.get(
+                "SPARK_GRAFT_DRIVER_MEM", "48g")
+    elif profile is not None:
+        raise ValueError(f"unknown session profile {profile!r} "
+                         f"(available: 'corpus')")
     if extra:
         defaults.update(extra)
     for k, v in defaults.items():
