@@ -82,6 +82,7 @@ def main():
         with open(logf) as fh:
             lines.extend(fh)
     sbytes = {}  # stage id -> [shuf write B, shuf read B, spill B, out rows]
+    sgc = {}     # stage id -> [gc ms, run ms, cpu ms, fetchwait ms, [task ms]]
     if True:
         for line in lines:
             try:
@@ -103,6 +104,16 @@ def main():
                     .get("Records Written", 0) or \
                     (tm.get("Shuffle Write Metrics") or {}) \
                     .get("Shuffle Records Written", 0)
+                # r7: GC / executor run / cpu / fetch-wait sums and the
+                # per-task duration list (straggler vs uniform slowdown)
+                ti = ev.get("Task Info") or {}
+                ext = sgc.setdefault(sid, [0, 0, 0, 0, []])
+                ext[0] += tm.get("JVM GC Time", 0)
+                ext[1] += tm.get("Executor Run Time", 0)
+                ext[2] += tm.get("Executor CPU Time", 0) // 1_000_000
+                ext[3] += (rm.get("Fetch Wait Time", 0) or 0)
+                ext[4].append((ti.get("Finish Time", 0)
+                               - ti.get("Launch Time", 0)))
             elif e == "SparkListenerStageCompleted":
                 si = ev["Stage Info"]
                 sub = si.get("Submission Time", 0)
@@ -129,11 +140,18 @@ def main():
     print("top stages by duration:")
     for s in stages[:18]:
         sw, sr, sp, rec = sbytes.get(s["stage"], [0, 0, 0, 0])
+        gc, run, cpu, fw, tds = sgc.get(s["stage"], [0, 0, 0, 0, []])
+        tds.sort()
+        p50 = tds[len(tds) // 2] / 1000.0 if tds else 0.0
+        mx = tds[-1] / 1000.0 if tds else 0.0
         gb = 1024 ** 3
         print(f"  t0={s['t0']:>7.1f}s dur={s['dur_s']:>7.2f}s "
               f"tasks={s['tasks']:>4} stage{s['stage']:>4} "
               f"w={sw/gb:5.1f}G r={sr/gb:5.1f}G sp={sp/gb:5.1f}G "
-              f"rec={rec/1e6:7.1f}M {s['name']}")
+              f"rec={rec/1e6:7.1f}M gc={gc/1000.0:6.1f}s "
+              f"run={run/1000.0:7.1f}s cpu={cpu/1000.0:7.1f}s "
+              f"fw={fw/1000.0:5.1f}s p50={p50:6.2f}s max={mx:7.2f}s "
+              f"{s['name']}")
     print("jobs in window:",
           [j for j in jobs if j["t0"] > -5][:40])
 

@@ -1371,6 +1371,7 @@ def knn_join(left: DataFrame, right: DataFrame, k: int,
     results = []
     fold_rows = None
     n_rem = 0
+    n_right = None  # counted by the ladder's W build; else by the fold
     import time as _time
     _tp0 = _time.perf_counter()
     run_ladder = n_left > thr_fold
@@ -1438,6 +1439,27 @@ def knn_join(left: DataFrame, right: DataFrame, k: int,
         # at EVERY density by the next-coarser rung's factor (16x at
         # the spacing-2 default).
         mk = float(margin * k)
+        # PRICED window cap (r7, VERDICT r6 #1): the start rule picks
+        # the finest level whose measured window holds >= mk rows, but
+        # zipfian density is DISCONTINUOUS — a sparse row 50 km from a
+        # city center has near-empty fine windows and then a window
+        # that jumps straight to the whole hotspot (millions of rows)
+        # at the first coarse level that reaches it.  Those few rows
+        # made round 0 a single-task straggler: the 4.8M event-log
+        # profile showed the round-0 join stage at p50=0.91 s with a
+        # 46.7 s max task (pure CPU, no GC/fetch skew) — the hot
+        # coarse CELL is one join key no partition count can split,
+        # and the per-row "<16*margin*k" window-nesting bound only
+        # holds for locally-continuous density.  The same pricing the
+        # fold already applies says those pairs are ~300x cheaper in
+        # the vectorized brute tail (~3e8 pair-evals/s/core) than in
+        # the join+window path, so a start level only QUALIFIES when
+        # its window is <= wcap; rows with no qualifying level fold.
+        # Results are invariant — the exit-bound certificate decides
+        # row completion and the fold is exact — only the routing
+        # changes (pinned by the fold-equivalence tests + oracle).
+        n_right = right_base.count()
+        wcap = float(max(64 * mk, n_right // 20))
         adj = F.lit(1 if exclude_self else 0)
         iF, jF = cell_ij_cols(F.col("r_lat"), F.col("r_lon"), finest)
         cnt_f = right_base.select(iF.alias("_i"), jF.alias("_j")) \
@@ -1524,12 +1546,19 @@ def knn_join(left: DataFrame, right: DataFrame, k: int,
         cs = cx.join(wtab, "_c", "left") \
             .withColumn("_wv", F.coalesce(F.col("_w"), F.lit(0)) - adj) \
             .groupBy("_fk").agg(
-                F.min(F.when(F.col("_wv") >= mk, F.col("_lx")))
+                F.min(F.when((F.col("_wv") >= mk)
+                             & (F.col("_wv") <= wcap), F.col("_lx")))
                  .alias("_si"),
                 F.max("_wv").alias("_wmax"))
+        # fallbacks: a row whose windows never reach mk but whose
+        # coarsest window holds >= k starts coarsest (small windows —
+        # always under the cap when _wmax < mk <= wcap); a row whose
+        # only satisfying windows exceed the cap folds (priced: brute
+        # beats a multi-million-pair join key)
         start = F.coalesce(
             F.col("_si"),
-            F.when(F.col("_wmax") >= k, F.lit(n_lvls - 1)),
+            F.when((F.col("_wmax") >= k) & (F.col("_wmax") <= wcap),
+                   F.lit(n_lvls - 1)),
             F.lit(n_lvls))
         cell_start = cs.select("_fk", start.cast("int").alias("_li"))
         # LAZY checkpoint: the histogram job below materializes these
@@ -1719,7 +1748,8 @@ def knn_join(left: DataFrame, right: DataFrame, k: int,
     _tf0 = _time.perf_counter()
     if n_fold:
         adj1 = 1 if exclude_self else 0
-        n_right = right_base.count()
+        if n_right is None:
+            n_right = right_base.count()
         if (n_fold <= KNN_MAX_QUERIES
                 and float(n_fold) * float(n_right) <= brute_fold_ops):
             # SMALL-TAIL BRUTE (r6): the common fold is a few thousand
