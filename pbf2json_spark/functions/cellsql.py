@@ -325,21 +325,34 @@ def check_fst_source(df, lat_col: str, lon_col: str, f: str = "_s2f"):
     reuse fst instead of re-deriving calls this first.  Frames whose fst
     carries no stamp (hand-built, or metadata stripped by an exotic
     rewrite) fall back to the documented staleness caller contract —
-    reuse is allowed, exactly as before the stamp existed."""
+    reuse is allowed, exactly as before the stamp existed.
+
+    RENAME CAVEAT (ADVICE r6 #4): the stamp records column NAMES, so
+    renaming the coordinate columns after with_s2_fst makes a valid
+    reuse fail loudly here (same data, new names) — drop the fst
+    columns or re-derive under the new names.  Fails loud rather than
+    wrong, by design."""
     try:
         meta = df.schema[f].metadata or {}
     except KeyError:
         return
     src = meta.get(_FST_SRC_KEY)
-    if src is not None and src != f"{lat_col}|{lon_col}":
-        got = src.split("|")
+    if src is None:
+        return
+    # the stamp is a two-element list since r7 (a '|'-joined string was
+    # ambiguous for column names containing '|'); accept the legacy
+    # string form from frames persisted by older code
+    got = src.split("|") if isinstance(src, str) else list(src)
+    if got != [lat_col, lon_col]:
         raise ValueError(
             f"pre-attached s2 fst columns on this frame were derived from "
             f"({got[0]!r}, {got[1]!r}) but this call asked for "
             f"({lat_col!r}, {lon_col!r}) — reusing them would key every "
             f"downstream cell on the wrong coordinates.  Drop "
             f"_s2f/_s2s/_s2t (or re-run attach_s2 / with_s2_fst over the "
-            f"intended columns) first.")
+            f"intended columns) first.  (If you only RENAMED the "
+            f"coordinate columns, the data is still valid — re-derive "
+            f"or drop the fst columns to clear the stamp.)")
 
 
 def _guard_s2_scratch(df, extra=()):
@@ -406,7 +419,7 @@ def with_s2_fst(df, lat_col: str, lon_col: str,
     # (e.g. attach_s2 over pickup coords, then a call over dropoff).
     # Column metadata survives projections and parquet round-trips.
     df = df.select("*", face.alias(
-        f, metadata={_FST_SRC_KEY: f"{lat_col}|{lon_col}"}))
+        f, metadata={_FST_SRC_KEY: [lat_col, lon_col]}))
     fc = F.col(f)
     dom = _s2_choose(fc, [x, -x, y, -y, z, -z])
     df = df.select("*",

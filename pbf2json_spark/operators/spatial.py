@@ -1346,6 +1346,18 @@ def knn_join(left: DataFrame, right: DataFrame, k: int,
     levels = sorted({int(L) for L in levels}, reverse=True)
     if not levels:
         raise ValueError("knn_join: empty level ladder")
+    # a level whose longitude row has fewer than 2*ring+1 cells makes
+    # the pmod wrap emit DUPLICATE cell keys per disk (ADVICE r6 #2:
+    # duplicated candidate pairs let row_number rank one right_id
+    # twice and evict a true kth neighbour) — refuse loudly; the
+    # default coarsest level 4 has 32 cells per row
+    for L in levels:
+        if 2 * ring + 1 > (2 << L):
+            raise ValueError(
+                f"knn_join: level {L} has only {2 << L} longitude "
+                f"cells (< 2*ring+1 = {2 * ring + 1}); the wrap would "
+                f"duplicate disk cells — drop level {L} or shrink "
+                f"ring")
     finest = levels[0]
     n_lvls = len(levels)
 
@@ -1358,497 +1370,512 @@ def knn_join(left: DataFrame, right: DataFrame, k: int,
     # interactive session accumulates one block-set per call.
     spark_cx = left.sparkSession
     _ids_entry = _persistent_rdd_ids(spark_cx)
+    try:
 
-    right_base = right.select(
-        F.col(right_id), F.col("lat").alias("r_lat"),
-        F.col("lon").alias("r_lon"))
-    left_raw = left.select(
-        F.col(left_id), F.col("lat").alias("l_lat"),
-        F.col("lon").alias("l_lon"))
-    n_left = left_raw.count()
-    thr_fold = max(early_fold_min, int(tail_fold_frac * n_left))
+        right_base = right.select(
+            F.col(right_id), F.col("lat").alias("r_lat"),
+            F.col("lon").alias("r_lon"))
+        left_raw = left.select(
+            F.col(left_id), F.col("lat").alias("l_lat"),
+            F.col("lon").alias("l_lon"))
+        n_left = left_raw.count()
+        thr_fold = max(early_fold_min, int(tail_fold_frac * n_left))
 
-    results = []
-    fold_rows = None
-    n_rem = 0
-    n_right = None  # counted by the ladder's W build; else by the fold
-    import time as _time
-    _tp0 = _time.perf_counter()
-    run_ladder = n_left > thr_fold
-    if not run_ladder and n_left > 0:
-        # LADDER SKIP (r6): with the whole left side already under the
-        # early-fold threshold, round 0 could never be followed by a
-        # round 1 — every unsatisfied row folds into knn() regardless —
-        # so the round machinery (density probe, key-table build, join,
-        # window, checkpoint: ~10 fixed job floors) would be pure tax.
-        # Measured at the sf0.1 gate (750 x 15k, k=8): round 0
-        # certified ZERO rows (a sparse corpus's self-count inflates
-        # the density estimate) and cost ~12 s of floors before the
-        # fold did all the work anyway.  Fold is the exact ladder-kNN
-        # path, so results are identical.  early_fold_min=0 forces the
-        # ladder (benches/tests of the distributed rounds).
-        if trace is not None:
-            trace["ladder_skipped"] = n_left
-        fold_rows = left_raw
-    # PACKED KEYS everywhere (r6): the round join, like the W table,
-    # only needs SOME per-(level, cell) key both sides derive
-    # identically — so the whole ladder path skips the morton
-    # byte-table codec for plain shift-or packing (level<<54 | i<<27 |
-    # j).  The morton form (72 element_at per disk, x active levels,
-    # x both sides, rebuilt each round) was measured as ~27 s of
-    # SERIAL driver planning/codegen in round 0 at 600k (S+W/c fit of
-    # the 2/8/32-core legs) — the single largest Amdahl term in the
-    # operator.  Wrap/drop rules mirror disk_cells_col exactly
-    # (longitude pmod-wraps, out-of-range latitude drops), so the
-    # covered cell set — and with it the disk-exit certificate — is
-    # unchanged.
-    def _pk(L, i, j):
-        return F.shiftleft(F.lit(int(L)).cast("long"), 54) \
-            .bitwiseOR(F.shiftleft(i.cast("long"), 27)) \
-            .bitwiseOR(j.cast("long"))
+        results = []
+        fold_rows = None
+        n_rem = 0
+        n_right = None  # counted by the ladder's W build; else by the fold
+        import time as _time
+        _tp0 = _time.perf_counter()
+        run_ladder = n_left > thr_fold
+        if not run_ladder and n_left > 0:
+            # LADDER SKIP (r6): with the whole left side already under the
+            # early-fold threshold, round 0 could never be followed by a
+            # round 1 — every unsatisfied row folds into knn() regardless —
+            # so the round machinery (density probe, key-table build, join,
+            # window, checkpoint: ~10 fixed job floors) would be pure tax.
+            # Measured at the sf0.1 gate (750 x 15k, k=8): round 0
+            # certified ZERO rows (a sparse corpus's self-count inflates
+            # the density estimate) and cost ~12 s of floors before the
+            # fold did all the work anyway.  Fold is the exact ladder-kNN
+            # path, so results are identical.  early_fold_min=0 forces the
+            # ladder (benches/tests of the distributed rounds).
+            if trace is not None:
+                trace["ladder_skipped"] = n_left
+            fold_rows = left_raw
+        # PACKED KEYS everywhere (r6): the round join, like the W table,
+        # only needs SOME per-(level, cell) key both sides derive
+        # identically — so the whole ladder path skips the morton
+        # byte-table codec for plain shift-or packing (level<<54 | i<<27 |
+        # j).  The morton form (72 element_at per disk, x active levels,
+        # x both sides, rebuilt each round) was measured as ~27 s of
+        # SERIAL driver planning/codegen in round 0 at 600k (S+W/c fit of
+        # the 2/8/32-core legs) — the single largest Amdahl term in the
+        # operator.  Wrap/drop rules mirror disk_cells_col exactly
+        # (longitude pmod-wraps, out-of-range latitude drops), so the
+        # covered cell set — and with it the disk-exit certificate — is
+        # unchanged.
+        def _pk(L, i, j):
+            return F.shiftleft(F.lit(int(L)).cast("long"), 54) \
+                .bitwiseOR(F.shiftleft(i.cast("long"), 27)) \
+                .bitwiseOR(j.cast("long"))
 
-    if run_ladder:
-        # persist the right side ONCE at N rows with its finest (i, j)
-        # pair; every round derives its join keys from these by pure
-        # shifts, exploded ONLY to the round's ACTIVE levels.  The r5
-        # shape persisted an 11-levels x N pre-explode, which (a) held
-        # 11N rows in the block manager for a join that can only ever
-        # match the <= 3 levels the W table routed rows to, and (b)
-        # shuffled all 11N rows through every round's exchange (rounds
-        # are separate jobs — no exchange reuse), ~4x the matchable
-        # volume at the measured start histograms.
-        iR, jR = cell_ij_cols(F.col("r_lat"), F.col("r_lon"), finest)
-        right_idx = right_base \
-            .select("*", iR.alias("_ri"), jR.alias("_rj")).persist()
-        # W TABLE — exact 3x3-window occupancy per (level, cell), built
-        # fully distributed from the cell-scale count table: one N-row
-        # groupBy at the finest ladder level, then per-level parent
-        # folds + ring-1 disk scatter (all CELL-scale shuffles).  No
-        # driver collect, no density extrapolation: two cheaper start
-        # rules were measured failing on the zipfian 600k self-join
-        # first — (a) the r5 own-probe-cell estimate under-certifies
-        # sparse rows (an extra round of job floors for ~17% of the
-        # corpus), and (b) a rung-ladder probe (rung-9 neighborhood
-        # counts extrapolated to fine levels under a uniform-density
-        # assumption, knn()'s driver rule) underestimates hotspot peak
-        # density ~90x: 1.07e9 actual candidate rows at 300k where the
-        # target was ~5e6, 90 GB of window-sort spill.  Exact per-level
-        # windows make the start level PRICED: the chosen window really
-        # holds >= margin*k right rows, and by window nesting the first
-        # satisfying level is the finest — cost per left row is bounded
-        # at EVERY density by the next-coarser rung's factor (16x at
-        # the spacing-2 default).
-        mk = float(margin * k)
-        # PRICED window cap (r7, VERDICT r6 #1): the start rule picks
-        # the finest level whose measured window holds >= mk rows, but
-        # zipfian density is DISCONTINUOUS — a sparse row 50 km from a
-        # city center has near-empty fine windows and then a window
-        # that jumps straight to the whole hotspot (millions of rows)
-        # at the first coarse level that reaches it.  Those few rows
-        # made round 0 a single-task straggler: the 4.8M event-log
-        # profile showed the round-0 join stage at p50=0.91 s with a
-        # 46.7 s max task (pure CPU, no GC/fetch skew) — the hot
-        # coarse CELL is one join key no partition count can split,
-        # and the per-row "<16*margin*k" window-nesting bound only
-        # holds for locally-continuous density.  The same pricing the
-        # fold already applies says those pairs are ~300x cheaper in
-        # the vectorized brute tail (~3e8 pair-evals/s/core) than in
-        # the join+window path, so a start level only QUALIFIES when
-        # its window is <= wcap; rows with no qualifying level fold.
-        # Results are invariant — the exit-bound certificate decides
-        # row completion and the fold is exact — only the routing
-        # changes (pinned by the fold-equivalence tests + oracle).
-        n_right = right_base.count()
-        wcap = float(max(64 * mk, n_right // 20))
-        adj = F.lit(1 if exclude_self else 0)
-        iF, jF = cell_ij_cols(F.col("r_lat"), F.col("r_lon"), finest)
-        cnt_f = right_base.select(iF.alias("_i"), jF.alias("_j")) \
-            .groupBy("_i", "_j").count()
-        # ONE posexplode emits every finest cell's packed ancestor key
-        # at every ladder level; ONE groupBy then counts all (level,
-        # cell) pairs at once.  (The first cut ran 9 per-level groupBy
-        # branches — 9 parallel stages AND 9 plan subtrees whose
-        # driver-side planning gaps outweighed the cluster work.)
-        anc = F.array(*[
-            _pk(L, F.shiftright(F.col("_i"), finest - L),
-                F.shiftright(F.col("_j"), finest - L))
-            for L in levels])
-        cnt_all = cnt_f.select(F.explode(anc).alias("_ck"), "count") \
-            .groupBy("_ck").agg(F.sum("count").alias("_n"))
-        # ring-1 scatter off the DECODED key (shifts, no codec): the
-        # 3x3 window sum at cell x = sum over cells whose disk holds x
-        cn = cnt_all.select(
-            "_n", F.shiftright(F.col("_ck"), 54).alias("_L"),
-            F.shiftright(F.col("_ck"), 27)
-             .bitwiseAND(F.lit((1 << 27) - 1)).alias("_ic"),
-            F.col("_ck").bitwiseAND(F.lit((1 << 27) - 1)).alias("_jc"))
-        nlat_c = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_L AS INT))")
-        nlon_c = F.expr("shiftleft(CAST(2 AS BIGINT), CAST(_L AS INT))")
-        nbrs = []
-        for di in (-1, 0, 1):
-            for dj in (-1, 0, 1):
-                ii = F.col("_ic") + F.lit(di)
-                jj = F.pmod(F.col("_jc") + F.lit(dj), nlon_c)
-                key = F.shiftleft(F.col("_L"), 54) \
-                    .bitwiseOR(F.shiftleft(ii, 27)).bitwiseOR(jj)
-                nbrs.append(F.when((ii >= 0) & (ii < nlat_c), key))
-        wtab = cn.select(F.explode(F.array(*nbrs)).alias("_c"), "_n") \
-            .filter(F.col("_c").isNotNull()) \
-            .groupBy("_c").agg(F.sum("_n").alias("_w"))
-        # prune entries that can never set a start level (_w too small
-        # to satisfy), EXCEPT at the coarsest level, which also feeds
-        # the _wmax >= k coarsest-fallback/sentinel decision — the
-        # pruned join side is small enough for AQE to broadcast, so
-        # the left explode never shuffles for the join
-        wtab = wtab.filter(
-            (F.col("_w") - adj >= mk)
-            | (F.shiftright(F.col("_c"), 54) == levels[-1]))
-
-        # per-CELL start level, joined back to left rows (r6): the start
-        # level — FINEST ladder level whose measured window holds >=
-        # margin*k rights, min posexplode index, valid by
-        # window-nesting monotonicity — is a function of the row's
-        # FINEST cell alone (every ladder window is derived from the
-        # cell, not the point), so it is computed once per DISTINCT
-        # finest cell and equi-joined to left on one packed long key.
-        # The previous shape exploded EVERY left row 11x and
-        # re-aggregated 105M exploded rows by 9.6M string ids through
-        # a sort-merge join (wtab outgrows the broadcast threshold at
-        # corpus scale); on an 8-core/24g executor — a realistic
-        # cluster shape — that stage exhausted the execution pool and
-        # killed the executor outright (ShuffleExternalSorter could
-        # not acquire 32 KB; raw heap-space OOM in the concurrent
-        # stage).  Per-cell the explode touches distinct cells only
-        # (16-byte long rows, no string agg), and the row-scale work
-        # collapses to one long-keyed equi-join.  Cells come from the
-        # LEFT side alone: cell_start rows are only ever consumed by
-        # joining left rows, so right-only cells would be computed and
-        # dropped — and in the asymmetric shape (small left vs huge
-        # right) they would make probe cost scale with the WRONG side.
-        # A left cell with no right rows anywhere near still gets its
-        # lookup row (wtab left-join -> all-null -> sentinel/coarsest).
-        liF, ljF = cell_ij_cols(F.col("l_lat"), F.col("l_lon"), finest)
-        lkey = left_raw.select(F.col(left_id), "l_lat", "l_lon",
-                               _pk(finest, liF, ljF).alias("_fk"))
-        cells = lkey.select("_fk").distinct()
-        # decode-then-shift (mask BEFORE the ancestor shift: the packed
-        # level field sits directly above the i field, so shifting the
-        # raw key right by 27+s smears level bits into the masked i
-        # for s >= 4)
-        _fi = F.shiftright(F.col("_fk"), 27) \
-            .bitwiseAND(F.lit((1 << 27) - 1))
-        _fj = F.col("_fk").bitwiseAND(F.lit((1 << 27) - 1))
-        canc = F.array(*[
-            _pk(L, F.shiftright(_fi, finest - L),
-                F.shiftright(_fj, finest - L))
-            for L in levels])
-        cx = cells.select("_fk", F.posexplode(canc).alias("_lx", "_c"))
-        cs = cx.join(wtab, "_c", "left") \
-            .withColumn("_wv", F.coalesce(F.col("_w"), F.lit(0)) - adj) \
-            .groupBy("_fk").agg(
-                F.min(F.when((F.col("_wv") >= mk)
-                             & (F.col("_wv") <= wcap), F.col("_lx")))
-                 .alias("_si"),
-                F.max("_wv").alias("_wmax"))
-        # fallbacks: a row whose windows never reach mk but whose
-        # coarsest window holds >= k starts coarsest (small windows —
-        # always under the cap when _wmax < mk <= wcap); a row whose
-        # only satisfying windows exceed the cap folds (priced: brute
-        # beats a multi-million-pair join key)
-        start = F.coalesce(
-            F.col("_si"),
-            F.when((F.col("_wmax") >= k) & (F.col("_wmax") <= wcap),
-                   F.lit(n_lvls - 1)),
-            F.lit(n_lvls))
-        cell_start = cs.select("_fk", start.cast("int").alias("_li"))
-        # LAZY checkpoint: the histogram job below materializes these
-        # blocks AND hands back the active-level set, so each round's
-        # plan only contains Generate branches for levels that hold
-        # rows (a 13-branch every-level union was measured costing
-        # ~5 s/round of empty partition scans at 128 partitions)
-        labeled = lkey.join(cell_start, "_fk", "left") \
-            .select(F.col(left_id), "l_lat", "l_lon",
-                    F.coalesce(F.col("_li"), F.lit(n_lvls))
-                     .cast("int").alias("_li")) \
-            .localCheckpoint(eager=False)
-        remaining = labeled.filter(F.col("_li") < n_lvls)
-        fold_rows = labeled.filter(F.col("_li") >= n_lvls)
-        hist = {int(r["_li"]): int(r["count"])
-                for r in labeled.groupBy("_li").count().collect()}
-        active = {i for i in hist if i < n_lvls}
-        if trace is not None:
-            trace["probe"] = {
-                "sec": round(_time.perf_counter() - _tp0, 2),
-                "start_hist": {
-                    (levels[i] if i < n_lvls else "fold"): hist[i]
-                    for i in sorted(hist)}}
-    for _round in range(n_lvls if run_ladder else 0):
-        if not active:
-            n_rem = 0
-            break
-        _t0 = _time.perf_counter()
-        i, j = cell_ij_cols(F.col("l_lat"), F.col("l_lon"), finest)
-        base = remaining.select("*", i.alias("_if"), j.alias("_jf"))
-        # per-row disk at its own level: coarser (i, j) are exact
-        # right-shifts of the finest pair (floor/2^n commute).  One
-        # small filtered Generate PER LEVEL, unioned — a single
-        # CASE-over-levels array inside one Generate blew janino's
-        # 64 KB method limit at 7 ladder rungs; the union keeps every
-        # doConsume tiny and the branches all read the same
-        # checkpointed frame.  Disk keys are packed shift-or combos
-        # (see _pk above) — each array element is ~8 scalar bit ops,
-        # so even a ring-2 25-element Generate compiles in ms where
-        # the byte-table morton form blew the 64 KB janino limit and
-        # cost ~27 s/round of serial driver codegen.
-        parts = []
-        for idx, L in enumerate(levels):
-            if idx not in active:
-                continue
-            sh = finest - L
-            nlat_l, nlon_l = 1 << L, 2 << L
-            p0 = base.filter(F.col("_li") == idx).select(
-                F.col(left_id), "l_lat", "l_lon",
-                F.shiftright(F.col("_if"), sh).alias("_iL"),
-                F.shiftright(F.col("_jf"), sh).alias("_jL"))
-            # per-branch JVM exit bound (cellindex.disk_exit_distance_m
-            # with L's constants folded at plan time): the distance from
-            # this left row to the nearest point OUTSIDE its own disk.
-            # Candidates farther than it are dead weight — they can
-            # never belong to a CERTIFIED top-k (if the unfiltered kth
-            # were beyond the bound the certificate fails and the row
-            # escalates regardless), so the round filters them out
-            # BEFORE the rank window.  Measured: the partial top-k sort
-            # over raw window candidates (up to 16*margin*k rows for a
-            # row whose next-finer window just missed mk) spilled
-            # 2-5.5 GB PER TASK at 2.4M and put the join stage's max
-            # task at 3.3x the median; the bound filter cuts the sort
-            # set to the ~cell-radius disk (~window/10) and the
-            # certificate becomes simply n_found == k.
-            xb = _disk_exit_bound_col(
-                F.col("l_lat"), F.col("l_lon"),
-                F.col("_iL"), F.col("_jL"), L, ring)
-            cells = []
+        if run_ladder:
+            # persist the right side ONCE at N rows with its finest (i, j)
+            # pair; every round derives its join keys from these by pure
+            # shifts, exploded ONLY to the round's ACTIVE levels.  The r5
+            # shape persisted an 11-levels x N pre-explode, which (a) held
+            # 11N rows in the block manager for a join that can only ever
+            # match the <= 3 levels the W table routed rows to, and (b)
+            # shuffled all 11N rows through every round's exchange (rounds
+            # are separate jobs — no exchange reuse), ~4x the matchable
+            # volume at the measured start histograms.
+            iR, jR = cell_ij_cols(F.col("r_lat"), F.col("r_lon"), finest)
+            right_idx = right_base \
+                .select("*", iR.alias("_ri"), jR.alias("_rj")).persist()
+            # W TABLE — exact 3x3-window occupancy per (level, cell), built
+            # fully distributed from the cell-scale count table: one N-row
+            # groupBy at the finest ladder level, then per-level parent
+            # folds + ring-1 disk scatter (all CELL-scale shuffles).  No
+            # driver collect, no density extrapolation: two cheaper start
+            # rules were measured failing on the zipfian 600k self-join
+            # first — (a) the r5 own-probe-cell estimate under-certifies
+            # sparse rows (an extra round of job floors for ~17% of the
+            # corpus), and (b) a rung-ladder probe (rung-9 neighborhood
+            # counts extrapolated to fine levels under a uniform-density
+            # assumption, knn()'s driver rule) underestimates hotspot peak
+            # density ~90x: 1.07e9 actual candidate rows at 300k where the
+            # target was ~5e6, 90 GB of window-sort spill.  Exact per-level
+            # windows make the start level PRICED: the chosen window really
+            # holds >= margin*k right rows, and by window nesting the first
+            # satisfying level is the finest — cost per left row is bounded
+            # at EVERY density by the next-coarser rung's factor (16x at
+            # the spacing-2 default).
+            mk = float(margin * k)
+            # PRICED window cap (r7, VERDICT r6 #1): the start rule picks
+            # the finest level whose measured window holds >= mk rows, but
+            # zipfian density is DISCONTINUOUS — a sparse row 50 km from a
+            # city center has near-empty fine windows and then a window
+            # that jumps straight to the whole hotspot (millions of rows)
+            # at the first coarse level that reaches it.  Those few rows
+            # made round 0 a single-task straggler: the 4.8M event-log
+            # profile showed the round-0 join stage at p50=0.91 s with a
+            # 46.7 s max task (pure CPU, no GC/fetch skew) — the hot
+            # coarse CELL is one join key no partition count can split,
+            # and the per-row "<16*margin*k" window-nesting bound only
+            # holds for locally-continuous density.  The same pricing the
+            # fold already applies says those pairs are ~300x cheaper in
+            # the vectorized brute tail (~3e8 pair-evals/s/core) than in
+            # the join+window path, so a start level only QUALIFIES when
+            # its window is <= wcap; rows with no qualifying level fold.
+            # Results are invariant — the exit-bound certificate decides
+            # row completion and the fold is exact — only the routing
+            # changes (pinned by the fold-equivalence tests + oracle).
+            n_right = right_base.count()
+            wcap = float(max(64 * mk, n_right // 20))
+            adj = F.lit(1 if exclude_self else 0)
+            iF, jF = cell_ij_cols(F.col("r_lat"), F.col("r_lon"), finest)
+            cnt_f = right_base.select(iF.alias("_i"), jF.alias("_j")) \
+                .groupBy("_i", "_j").count()
+            # ONE posexplode emits every finest cell's packed ancestor key
+            # at every ladder level; ONE groupBy then counts all (level,
+            # cell) pairs at once.  (The first cut ran 9 per-level groupBy
+            # branches — 9 parallel stages AND 9 plan subtrees whose
+            # driver-side planning gaps outweighed the cluster work.)
+            anc = F.array(*[
+                _pk(L, F.shiftright(F.col("_i"), finest - L),
+                    F.shiftright(F.col("_j"), finest - L))
+                for L in levels])
+            cnt_all = cnt_f.select(F.explode(anc).alias("_ck"), "count") \
+                .groupBy("_ck").agg(F.sum("count").alias("_n"))
+            # ring scatter off the DECODED key (shifts, no codec): the
+            # (2*ring+1)^2 window sum at cell x = sum over cells whose
+            # disk holds x — offsets match the round-loop window (ADVICE
+            # r6 #1: a hardcoded 3x3 here under ring>1 silently measured
+            # undersized windows; results stayed exact via the
+            # certificate, but start levels were mis-priced)
+            cn = cnt_all.select(
+                "_n", F.shiftright(F.col("_ck"), 54).alias("_L"),
+                F.shiftright(F.col("_ck"), 27)
+                 .bitwiseAND(F.lit((1 << 27) - 1)).alias("_ic"),
+                F.col("_ck").bitwiseAND(F.lit((1 << 27) - 1)).alias("_jc"))
+            nlat_c = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_L AS INT))")
+            nlon_c = F.expr("shiftleft(CAST(2 AS BIGINT), CAST(_L AS INT))")
+            nbrs = []
             for di in range(-ring, ring + 1):
                 for dj in range(-ring, ring + 1):
-                    ii = F.col("_iL") + F.lit(di)
-                    jj = F.pmod(F.col("_jL") + F.lit(dj),
-                                F.lit(nlon_l))
-                    cells.append(
-                        F.when((ii >= 0) & (ii < nlat_l),
-                               _pk(L, ii, jj)))
-            p = p0.select(F.col(left_id), "l_lat", "l_lon",
-                          xb.alias("_xb"),
-                          F.explode(F.array(*cells)).alias("_c"))
-            parts.append(p.filter(F.col("_c").isNotNull()))
-        lw = parts[0]
-        for p in parts[1:]:
-            lw = lw.unionByName(p)
-        r_anc = F.array(*[
-            _pk(levels[i],
-                F.shiftright(F.col("_ri"), finest - levels[i]),
-                F.shiftright(F.col("_rj"), finest - levels[i]))
-            for i in sorted(active)])
-        rl = right_idx.select("*", F.explode(r_anc).alias("_c")) \
-            .drop("_ri", "_rj")
-        cand = lw.join(rl, "_c")
-        if exclude_self:
-            cand = cand.filter(F.col(left_id) != F.col(right_id))
-        dist = _haversine_col(F.col("l_lat"), F.col("l_lon"),
-                              F.col("r_lat"), F.col("r_lon"))
-        w = Window.partitionBy(left_id).orderBy(
-            F.asc("dist_m"), F.asc(right_id))
-        # LAZY checkpoint: the round's single materializing job is the
-        # n_rem count below — it computes the join+window ONCE, stores
-        # the top-k blocks, and everything downstream (stats, the final
-        # results union) reads the blocks.  Eagerly checkpointing here
-        # was a second job floor per round for the same bytes.
-        # dist <= _xb BEFORE the window: provably decision- and
-        # output-identical (see the _xb comment above) and it is what
-        # keeps the rank sort small — only the own-disk-certifiable
-        # candidates are ever sorted.
-        # PROJECT TO THE WINDOW'S WORKING SET before the rank exchange:
-        # the rank window's hash exchange is the single largest shuffle
-        # in the operator (every surviving candidate row crosses it),
-        # and nothing downstream of the window reads l_lat/l_lon/_li/_xb
-        # (stats needs left_id+rank; the results union needs
-        # left_id/right_id/dist_m/rank; unsat rows re-derive coords from
-        # `remaining`, never from `top`) — carrying them was ~28 B of a
-        # ~70 B row.  Measured at the 9.6M self-join: the round-0
-        # exchange+sort wrote > 30 GB of shuffle/spill with the wide
-        # row and exhausted a 57 GB scratch disk; the trimmed row
-        # fits the same leg comfortably.
-        top = cand.select(F.col(left_id), F.col(right_id),
-                          dist.alias("dist_m"), "_xb") \
-                  .filter(F.col("dist_m") <= F.col("_xb")) \
-                  .drop("_xb") \
-                  .withColumn("rank", F.row_number().over(w)) \
-                  .filter(F.col("rank") <= k) \
-                  .localCheckpoint(eager=False)
-        # ONE left-join against the round's stats decides done/unsat:
-        # a two-branch shape (ok-filter union leftanti) referenced the
-        # stats aggregate twice, and with the lazy top checkpoint the
-        # two branches race to compute the join+window partitions
-        # inside the same materializing job — the single-path join
-        # keeps the expensive round plan evaluated exactly once.
-        # Rows with ZERO candidates have no stats row (n_found null)
-        # and fall into unsat via the isNull arm.
-        # the _xb prefilter already enforced kth <= exit bound, so the
-        # certificate collapses to n_found == k — no Python crossing
-        # anywhere in the round.
-        stats = top.groupBy(left_id).agg(
-            F.max("rank").alias("n_found"))
-        j = remaining.join(stats, left_id, "left")
-        ok = F.col("n_found") == k
-        done_ids = j.filter(ok).select(left_id)
-        results.append(top.join(done_ids, left_id, "leftsemi")
-                       .select(left_id, right_id, "dist_m", "rank"))
-        unsat = j.filter(F.col("n_found").isNull() | ~ok) \
-            .select(F.col(left_id), "l_lat", "l_lon", "_li")
-        exhausted = unsat.filter(F.col("_li") >= n_lvls - 1)
-        fold_rows = exhausted if fold_rows is None else \
-            fold_rows.unionByName(exhausted)
-        remaining = unsat.filter(F.col("_li") < n_lvls - 1) \
-            .withColumn("_li", F.col("_li") + 1) \
-            .localCheckpoint(eager=False)
-        # THE round barrier: one histogram job materializes this
-        # round's remaining AND (transitively, through stats) the
-        # round's top-k blocks, and returns the next active-level set
-        hist = {int(r["_li"]): int(r["count"])
-                for r in remaining.groupBy("_li").count().collect()}
-        active = set(hist)
-        n_rem = sum(hist.values())
-        if trace is not None:
-            trace[f"round{_round}"] = {
-                "sec": round(_time.perf_counter() - _t0, 2),
-                "remaining": n_rem}
-        if n_rem == 0:
-            break
-        # small-tail early fold: another distributed round costs fixed
-        # job floors regardless of size; below this fraction the ladder
-        # kNN finishes the stragglers faster than the round machinery
-        # restarts
-        if n_rem <= thr_fold:
+                    ii = F.col("_ic") + F.lit(di)
+                    jj = F.pmod(F.col("_jc") + F.lit(dj), nlon_c)
+                    key = F.shiftleft(F.col("_L"), 54) \
+                        .bitwiseOR(F.shiftleft(ii, 27)).bitwiseOR(jj)
+                    nbrs.append(F.when((ii >= 0) & (ii < nlat_c), key))
+            wtab = cn.select(F.explode(F.array(*nbrs)).alias("_c"), "_n") \
+                .filter(F.col("_c").isNotNull()) \
+                .groupBy("_c").agg(F.sum("_n").alias("_w"))
+            # prune entries that can never set a start level (_w too small
+            # to satisfy), EXCEPT at the coarsest level, which also feeds
+            # the _wmax >= k coarsest-fallback/sentinel decision — the
+            # pruned join side is small enough for AQE to broadcast, so
+            # the left explode never shuffles for the join
+            wtab = wtab.filter(
+                (F.col("_w") - adj >= mk)
+                | (F.shiftright(F.col("_c"), 54) == levels[-1]))
+
+            # per-CELL start level, joined back to left rows (r6): the start
+            # level — FINEST ladder level whose measured window holds >=
+            # margin*k rights, min posexplode index, valid by
+            # window-nesting monotonicity — is a function of the row's
+            # FINEST cell alone (every ladder window is derived from the
+            # cell, not the point), so it is computed once per DISTINCT
+            # finest cell and equi-joined to left on one packed long key.
+            # The previous shape exploded EVERY left row 11x and
+            # re-aggregated 105M exploded rows by 9.6M string ids through
+            # a sort-merge join (wtab outgrows the broadcast threshold at
+            # corpus scale); on an 8-core/24g executor — a realistic
+            # cluster shape — that stage exhausted the execution pool and
+            # killed the executor outright (ShuffleExternalSorter could
+            # not acquire 32 KB; raw heap-space OOM in the concurrent
+            # stage).  Per-cell the explode touches distinct cells only
+            # (16-byte long rows, no string agg), and the row-scale work
+            # collapses to one long-keyed equi-join.  Cells come from the
+            # LEFT side alone: cell_start rows are only ever consumed by
+            # joining left rows, so right-only cells would be computed and
+            # dropped — and in the asymmetric shape (small left vs huge
+            # right) they would make probe cost scale with the WRONG side.
+            # A left cell with no right rows anywhere near still gets its
+            # lookup row (wtab left-join -> all-null -> sentinel/coarsest).
+            liF, ljF = cell_ij_cols(F.col("l_lat"), F.col("l_lon"), finest)
+            lkey = left_raw.select(F.col(left_id), "l_lat", "l_lon",
+                                   _pk(finest, liF, ljF).alias("_fk"))
+            cells = lkey.select("_fk").distinct()
+            # decode-then-shift (mask BEFORE the ancestor shift: the packed
+            # level field sits directly above the i field, so shifting the
+            # raw key right by 27+s smears level bits into the masked i
+            # for s >= 4)
+            _fi = F.shiftright(F.col("_fk"), 27) \
+                .bitwiseAND(F.lit((1 << 27) - 1))
+            _fj = F.col("_fk").bitwiseAND(F.lit((1 << 27) - 1))
+            canc = F.array(*[
+                _pk(L, F.shiftright(_fi, finest - L),
+                    F.shiftright(_fj, finest - L))
+                for L in levels])
+            cx = cells.select("_fk", F.posexplode(canc).alias("_lx", "_c"))
+            cs = cx.join(wtab, "_c", "left") \
+                .withColumn("_wv", F.coalesce(F.col("_w"), F.lit(0)) - adj) \
+                .groupBy("_fk").agg(
+                    F.min(F.when((F.col("_wv") >= mk)
+                                 & (F.col("_wv") <= wcap), F.col("_lx")))
+                     .alias("_si"),
+                    F.max("_wv").alias("_wmax"))
+            # fallbacks: a row whose windows never reach mk but whose
+            # coarsest window holds >= k starts coarsest (small windows —
+            # always under the cap when _wmax < mk <= wcap); a row whose
+            # only satisfying windows exceed the cap folds (priced: brute
+            # beats a multi-million-pair join key)
+            start = F.coalesce(
+                F.col("_si"),
+                F.when((F.col("_wmax") >= k) & (F.col("_wmax") <= wcap),
+                       F.lit(n_lvls - 1)),
+                F.lit(n_lvls))
+            cell_start = cs.select("_fk", start.cast("int").alias("_li"))
+            # LAZY checkpoint: the histogram job below materializes these
+            # blocks AND hands back the active-level set, so each round's
+            # plan only contains Generate branches for levels that hold
+            # rows (a 13-branch every-level union was measured costing
+            # ~5 s/round of empty partition scans at 128 partitions)
+            labeled = lkey.join(cell_start, "_fk", "left") \
+                .select(F.col(left_id), "l_lat", "l_lon",
+                        F.coalesce(F.col("_li"), F.lit(n_lvls))
+                         .cast("int").alias("_li")) \
+                .localCheckpoint(eager=False)
+            remaining = labeled.filter(F.col("_li") < n_lvls)
+            fold_rows = labeled.filter(F.col("_li") >= n_lvls)
+            hist = {int(r["_li"]): int(r["count"])
+                    for r in labeled.groupBy("_li").count().collect()}
+            active = {i for i in hist if i < n_lvls}
+            if trace is not None:
+                trace["probe"] = {
+                    "sec": round(_time.perf_counter() - _tp0, 2),
+                    "start_hist": {
+                        (levels[i] if i < n_lvls else "fold"): hist[i]
+                        for i in sorted(hist)}}
+        for _round in range(n_lvls if run_ladder else 0):
+            if not active:
+                n_rem = 0
+                break
+            _t0 = _time.perf_counter()
+            i, j = cell_ij_cols(F.col("l_lat"), F.col("l_lon"), finest)
+            base = remaining.select("*", i.alias("_if"), j.alias("_jf"))
+            # per-row disk at its own level: coarser (i, j) are exact
+            # right-shifts of the finest pair (floor/2^n commute).  One
+            # small filtered Generate PER LEVEL, unioned — a single
+            # CASE-over-levels array inside one Generate blew janino's
+            # 64 KB method limit at 7 ladder rungs; the union keeps every
+            # doConsume tiny and the branches all read the same
+            # checkpointed frame.  Disk keys are packed shift-or combos
+            # (see _pk above) — each array element is ~8 scalar bit ops,
+            # so even a ring-2 25-element Generate compiles in ms where
+            # the byte-table morton form blew the 64 KB janino limit and
+            # cost ~27 s/round of serial driver codegen.
+            parts = []
+            for idx, L in enumerate(levels):
+                if idx not in active:
+                    continue
+                sh = finest - L
+                nlat_l, nlon_l = 1 << L, 2 << L
+                p0 = base.filter(F.col("_li") == idx).select(
+                    F.col(left_id), "l_lat", "l_lon",
+                    F.shiftright(F.col("_if"), sh).alias("_iL"),
+                    F.shiftright(F.col("_jf"), sh).alias("_jL"))
+                # per-branch JVM exit bound (cellindex.disk_exit_distance_m
+                # with L's constants folded at plan time): the distance from
+                # this left row to the nearest point OUTSIDE its own disk.
+                # Candidates farther than it are dead weight — they can
+                # never belong to a CERTIFIED top-k (if the unfiltered kth
+                # were beyond the bound the certificate fails and the row
+                # escalates regardless), so the round filters them out
+                # BEFORE the rank window.  Measured: the partial top-k sort
+                # over raw window candidates (up to 16*margin*k rows for a
+                # row whose next-finer window just missed mk) spilled
+                # 2-5.5 GB PER TASK at 2.4M and put the join stage's max
+                # task at 3.3x the median; the bound filter cuts the sort
+                # set to the ~cell-radius disk (~window/10) and the
+                # certificate becomes simply n_found == k.
+                xb = _disk_exit_bound_col(
+                    F.col("l_lat"), F.col("l_lon"),
+                    F.col("_iL"), F.col("_jL"), L, ring)
+                cells = []
+                for di in range(-ring, ring + 1):
+                    for dj in range(-ring, ring + 1):
+                        ii = F.col("_iL") + F.lit(di)
+                        jj = F.pmod(F.col("_jL") + F.lit(dj),
+                                    F.lit(nlon_l))
+                        cells.append(
+                            F.when((ii >= 0) & (ii < nlat_l),
+                                   _pk(L, ii, jj)))
+                p = p0.select(F.col(left_id), "l_lat", "l_lon",
+                              xb.alias("_xb"),
+                              F.explode(F.array(*cells)).alias("_c"))
+                parts.append(p.filter(F.col("_c").isNotNull()))
+            lw = parts[0]
+            for p in parts[1:]:
+                lw = lw.unionByName(p)
+            r_anc = F.array(*[
+                _pk(levels[i],
+                    F.shiftright(F.col("_ri"), finest - levels[i]),
+                    F.shiftright(F.col("_rj"), finest - levels[i]))
+                for i in sorted(active)])
+            rl = right_idx.select("*", F.explode(r_anc).alias("_c")) \
+                .drop("_ri", "_rj")
+            cand = lw.join(rl, "_c")
+            if exclude_self:
+                cand = cand.filter(F.col(left_id) != F.col(right_id))
+            dist = _haversine_col(F.col("l_lat"), F.col("l_lon"),
+                                  F.col("r_lat"), F.col("r_lon"))
+            w = Window.partitionBy(left_id).orderBy(
+                F.asc("dist_m"), F.asc(right_id))
+            # LAZY checkpoint: the round's single materializing job is the
+            # n_rem count below — it computes the join+window ONCE, stores
+            # the top-k blocks, and everything downstream (stats, the final
+            # results union) reads the blocks.  Eagerly checkpointing here
+            # was a second job floor per round for the same bytes.
+            # dist <= _xb BEFORE the window: provably decision- and
+            # output-identical (see the _xb comment above) and it is what
+            # keeps the rank sort small — only the own-disk-certifiable
+            # candidates are ever sorted.
+            # PROJECT TO THE WINDOW'S WORKING SET before the rank exchange:
+            # the rank window's hash exchange is the single largest shuffle
+            # in the operator (every surviving candidate row crosses it),
+            # and nothing downstream of the window reads l_lat/l_lon/_li/_xb
+            # (stats needs left_id+rank; the results union needs
+            # left_id/right_id/dist_m/rank; unsat rows re-derive coords from
+            # `remaining`, never from `top`) — carrying them was ~28 B of a
+            # ~70 B row.  Measured at the 9.6M self-join: the round-0
+            # exchange+sort wrote > 30 GB of shuffle/spill with the wide
+            # row and exhausted a 57 GB scratch disk; the trimmed row
+            # fits the same leg comfortably.
+            top = cand.select(F.col(left_id), F.col(right_id),
+                              dist.alias("dist_m"), "_xb") \
+                      .filter(F.col("dist_m") <= F.col("_xb")) \
+                      .drop("_xb") \
+                      .withColumn("rank", F.row_number().over(w)) \
+                      .filter(F.col("rank") <= k) \
+                      .localCheckpoint(eager=False)
+            # ONE left-join against the round's stats decides done/unsat:
+            # a two-branch shape (ok-filter union leftanti) referenced the
+            # stats aggregate twice, and with the lazy top checkpoint the
+            # two branches race to compute the join+window partitions
+            # inside the same materializing job — the single-path join
+            # keeps the expensive round plan evaluated exactly once.
+            # Rows with ZERO candidates have no stats row (n_found null)
+            # and fall into unsat via the isNull arm.
+            # the _xb prefilter already enforced kth <= exit bound, so the
+            # certificate collapses to n_found == k — no Python crossing
+            # anywhere in the round.
+            stats = top.groupBy(left_id).agg(
+                F.max("rank").alias("n_found"))
+            j = remaining.join(stats, left_id, "left")
+            ok = F.col("n_found") == k
+            done_ids = j.filter(ok).select(left_id)
+            results.append(top.join(done_ids, left_id, "leftsemi")
+                           .select(left_id, right_id, "dist_m", "rank"))
+            unsat = j.filter(F.col("n_found").isNull() | ~ok) \
+                .select(F.col(left_id), "l_lat", "l_lon", "_li")
+            exhausted = unsat.filter(F.col("_li") >= n_lvls - 1)
+            fold_rows = exhausted if fold_rows is None else \
+                fold_rows.unionByName(exhausted)
+            remaining = unsat.filter(F.col("_li") < n_lvls - 1) \
+                .withColumn("_li", F.col("_li") + 1) \
+                .localCheckpoint(eager=False)
+            # THE round barrier: one histogram job materializes this
+            # round's remaining AND (transitively, through stats) the
+            # round's top-k blocks, and returns the next active-level set
+            hist = {int(r["_li"]): int(r["count"])
+                    for r in remaining.groupBy("_li").count().collect()}
+            active = set(hist)
+            n_rem = sum(hist.values())
+            if trace is not None:
+                trace[f"round{_round}"] = {
+                    "sec": round(_time.perf_counter() - _t0, 2),
+                    "remaining": n_rem}
+            if n_rem == 0:
+                break
+            # small-tail early fold: another distributed round costs fixed
+            # job floors regardless of size; below this fraction the ladder
+            # kNN finishes the stragglers faster than the round machinery
+            # restarts
+            if n_rem <= thr_fold:
+                fold_rows = remaining if fold_rows is None else \
+                    fold_rows.unionByName(remaining)
+                n_rem = 0
+                break
+        if n_rem > 0:  # ladder exhausted with rows still unsatisfied
             fold_rows = remaining if fold_rows is None else \
                 fold_rows.unionByName(remaining)
-            n_rem = 0
-            break
-    if n_rem > 0:  # ladder exhausted with rows still unsatisfied
-        fold_rows = remaining if fold_rows is None else \
-            fold_rows.unionByName(remaining)
 
-    if fold_rows is not None and run_ladder:
-        # one materialization serves the size check AND every chunk's
-        # collect inside knn (the union's branches re-aggregate round
-        # tops otherwise).  On the ladder-skip path fold_rows is the
-        # raw left scan: size already known, nothing to materialize.
-        fold_rows = fold_rows.localCheckpoint(eager=False)
-        n_fold = fold_rows.count()
-    else:
-        n_fold = n_left if fold_rows is not None else 0
-    _tf0 = _time.perf_counter()
-    if n_fold:
-        adj1 = 1 if exclude_self else 0
-        if n_right is None:
-            n_right = right_base.count()
-        if (n_fold <= KNN_MAX_QUERIES
-                and float(n_fold) * float(n_right) <= brute_fold_ops):
-            # SMALL-TAIL BRUTE (r6): the common fold is a few thousand
-            # genuinely-sparse rows, but routing them through knn()
-            # paid knn's full ladder machinery — driver presize, a
-            # morton codec build over the ENTIRE right corpus, 3
-            # candidate rounds — measured as ~32 s of SERIAL time at
-            # 600k (S+W/c fit of the 2/8/32-core legs), as much as the
-            # whole distributed round 0.  A bounded tail is exactly
-            # the shape _brute_force_knn already handles: fold x right
-            # distance ops, BLAS-chunked, distributed by queries
-            # (broadcast store) or by points (running top-k merge),
-            # nothing driver-side but the fold rows themselves.  Exact
-            # by construction, same distance kernel knn bottoms out
-            # in, so results are bit-identical to the knn fold.
-            fold_pdf = fold_rows.select(
-                F.col(left_id).alias("query_id"),
-                F.col("l_lat").alias("lat"),
-                F.col("l_lon").alias("lon")).toPandas()
-            bpts = right_base.select(
-                F.col(right_id).alias("_pid"),
-                F.col("r_lat").alias("p_lat"),
-                F.col("r_lon").alias("p_lon"))
-            folded = _brute_force_knn(bpts, fold_pdf, k + adj1,
-                                      "_pid", n_points=n_right)
-            if exclude_self:
-                folded = folded.filter(
-                    F.col("query_id") != F.col("_pid"))
-                wf = Window.partitionBy("query_id").orderBy(
-                    F.asc("dist_m"), F.asc("_pid"))
-                folded = folded.withColumn(
-                    "rank", F.row_number().over(wf)) \
-                    .filter(F.col("rank") <= k)
-            results.append(folded.select(
-                F.col("query_id").alias(left_id),
-                F.col("_pid").alias(right_id), "dist_m", "rank"))
-            n_chunks = 0
+        if fold_rows is not None and run_ladder:
+            # one materialization serves the size check AND every chunk's
+            # collect inside knn (the union's branches re-aggregate round
+            # tops otherwise).  On the ladder-skip path fold_rows is the
+            # raw left scan: size already known, nothing to materialize.
+            fold_rows = fold_rows.localCheckpoint(eager=False)
+            n_fold = fold_rows.count()
         else:
-            n_chunks = max(1, -(-n_fold // int(0.9 * KNN_MAX_QUERIES)))
-    if n_fold and n_chunks:
-        # oversized tail: exact fold into the ladder kNN.  knn's
-        # query side is driver-collected and refuses more than
-        # KNN_MAX_QUERIES rows — on a pathological corpus (most of the
-        # left side genuinely sparse at every ladder level) the fold
-        # can exceed that, so batch it through knn in hash-chunks
-        # instead of inheriting the guard after all the distributed
-        # rounds already ran (VERDICT r5 wrong #1 / ADVICE r5).  The
-        # 0.9 slack absorbs hash imbalance; xxhash64 keeps chunking
-        # deterministic.
-        q_all = fold_rows.select(F.col(left_id).alias("query_id"),
-                                 F.col("l_lat").alias("lat"),
-                                 F.col("l_lon").alias("lon"))
-        res_col = f"cell_r{KNN_RES}"
-        pts = right_base.select(
-            F.col(right_id).alias("_pid"),
-            F.col("r_lat").alias("lat"), F.col("r_lon").alias("lon"))
-        pts = pts.select("*", cell_id_col(F.col("lat"), F.col("lon"),
-                                          KNN_RES).alias(res_col))
-        for chunk in range(n_chunks):
-            q = q_all if n_chunks == 1 else q_all.filter(
-                F.pmod(F.xxhash64("query_id"), F.lit(n_chunks))
-                == chunk)
-            # exclude_self must hold on the folded tail too: ask knn
-            # for one extra neighbor, drop self-pairs, re-rank
-            folded = knn(pts, q, k=k + (1 if exclude_self else 0),
-                         res=KNN_RES, initial_ring=2, point_id="_pid")
-            if exclude_self:
-                folded = folded.filter(F.col("query_id") != F.col("_pid"))
-                wf = Window.partitionBy("query_id").orderBy(
-                    F.asc("dist_m"), F.asc("_pid"))
-                folded = folded.withColumn(
-                    "rank", F.row_number().over(wf)) \
-                    .filter(F.col("rank") <= k)
-            results.append(folded.select(
-                F.col("query_id").alias(left_id),
-                F.col("_pid").alias(right_id), "dist_m", "rank"))
-    if trace is not None:
-        trace["fold"] = {"sec": round(_time.perf_counter() - _tf0, 2),
-                         "rows": int(n_fold)}
+            n_fold = n_left if fold_rows is not None else 0
+        _tf0 = _time.perf_counter()
+        if n_fold:
+            adj1 = 1 if exclude_self else 0
+            if n_right is None:
+                n_right = right_base.count()
+            if (n_fold <= KNN_MAX_QUERIES
+                    and float(n_fold) * float(n_right) <= brute_fold_ops):
+                # SMALL-TAIL BRUTE (r6): the common fold is a few thousand
+                # genuinely-sparse rows, but routing them through knn()
+                # paid knn's full ladder machinery — driver presize, a
+                # morton codec build over the ENTIRE right corpus, 3
+                # candidate rounds — measured as ~32 s of SERIAL time at
+                # 600k (S+W/c fit of the 2/8/32-core legs), as much as the
+                # whole distributed round 0.  A bounded tail is exactly
+                # the shape _brute_force_knn already handles: fold x right
+                # distance ops, BLAS-chunked, distributed by queries
+                # (broadcast store) or by points (running top-k merge),
+                # nothing driver-side but the fold rows themselves.  Exact
+                # by construction, same distance kernel knn bottoms out
+                # in, so results are bit-identical to the knn fold.
+                fold_pdf = fold_rows.select(
+                    F.col(left_id).alias("query_id"),
+                    F.col("l_lat").alias("lat"),
+                    F.col("l_lon").alias("lon")).toPandas()
+                bpts = right_base.select(
+                    F.col(right_id).alias("_pid"),
+                    F.col("r_lat").alias("p_lat"),
+                    F.col("r_lon").alias("p_lon"))
+                folded = _brute_force_knn(bpts, fold_pdf, k + adj1,
+                                          "_pid", n_points=n_right)
+                if exclude_self:
+                    folded = folded.filter(
+                        F.col("query_id") != F.col("_pid"))
+                    wf = Window.partitionBy("query_id").orderBy(
+                        F.asc("dist_m"), F.asc("_pid"))
+                    folded = folded.withColumn(
+                        "rank", F.row_number().over(wf)) \
+                        .filter(F.col("rank") <= k)
+                results.append(folded.select(
+                    F.col("query_id").alias(left_id),
+                    F.col("_pid").alias(right_id), "dist_m", "rank"))
+                n_chunks = 0
+            else:
+                n_chunks = max(1, -(-n_fold // int(0.9 * KNN_MAX_QUERIES)))
+        if n_fold and n_chunks:
+            # oversized tail: exact fold into the ladder kNN.  knn's
+            # query side is driver-collected and refuses more than
+            # KNN_MAX_QUERIES rows — on a pathological corpus (most of the
+            # left side genuinely sparse at every ladder level) the fold
+            # can exceed that, so batch it through knn in hash-chunks
+            # instead of inheriting the guard after all the distributed
+            # rounds already ran (VERDICT r5 wrong #1 / ADVICE r5).  The
+            # 0.9 slack absorbs hash imbalance; xxhash64 keeps chunking
+            # deterministic.
+            q_all = fold_rows.select(F.col(left_id).alias("query_id"),
+                                     F.col("l_lat").alias("lat"),
+                                     F.col("l_lon").alias("lon"))
+            res_col = f"cell_r{KNN_RES}"
+            pts = right_base.select(
+                F.col(right_id).alias("_pid"),
+                F.col("r_lat").alias("lat"), F.col("r_lon").alias("lon"))
+            pts = pts.select("*", cell_id_col(F.col("lat"), F.col("lon"),
+                                              KNN_RES).alias(res_col))
+            for chunk in range(n_chunks):
+                q = q_all if n_chunks == 1 else q_all.filter(
+                    F.pmod(F.xxhash64("query_id"), F.lit(n_chunks))
+                    == chunk)
+                # exclude_self must hold on the folded tail too: ask knn
+                # for one extra neighbor, drop self-pairs, re-rank
+                folded = knn(pts, q, k=k + (1 if exclude_self else 0),
+                             res=KNN_RES, initial_ring=2, point_id="_pid")
+                if exclude_self:
+                    folded = folded.filter(F.col("query_id") != F.col("_pid"))
+                    wf = Window.partitionBy("query_id").orderBy(
+                        F.asc("dist_m"), F.asc("_pid"))
+                    folded = folded.withColumn(
+                        "rank", F.row_number().over(wf)) \
+                        .filter(F.col("rank") <= k)
+                results.append(folded.select(
+                    F.col("query_id").alias(left_id),
+                    F.col("_pid").alias(right_id), "dist_m", "rank"))
+        if trace is not None:
+            trace["fold"] = {"sec": round(_time.perf_counter() - _tf0, 2),
+                             "rows": int(n_fold)}
 
-    if not results:
-        # empty left side: an empty result frame with the input id
-        # types preserved (no jobs run)
-        return (left_raw.limit(0).crossJoin(right_base.limit(0))
-                .select(F.col(left_id), F.col(right_id),
-                        F.lit(0.0).alias("dist_m"),
-                        F.lit(0).cast("int").alias("rank")))
-    out = results[0]
-    for r in results[1:]:
-        out = out.unionByName(r)
-    # snapshot BEFORE the output materializes: everything registered
-    # between entry and here is call-internal state (round blocks, key
-    # table, folded knn outputs) and is released once `out` has copied
-    # the result rows into its own blocks; `out`'s blocks appear after
-    # this snapshot and are the caller's to keep.
-    _ids_internal = _persistent_rdd_ids(spark_cx) - _ids_entry
-    out = out.localCheckpoint(eager=True)
-    _unpersist_rdd_ids(spark_cx, _ids_internal)
-    return out
+        if not results:
+            # empty left side: an empty result frame with the input id
+            # types preserved (no jobs run)
+            return (left_raw.limit(0).crossJoin(right_base.limit(0))
+                    .select(F.col(left_id), F.col(right_id),
+                            F.lit(0.0).alias("dist_m"),
+                            F.lit(0).cast("int").alias("rank")))
+        out = results[0]
+        for r in results[1:]:
+            out = out.unionByName(r)
+        # snapshot BEFORE the output materializes: everything registered
+        # between entry and here is call-internal state (round blocks, key
+        # table, folded knn outputs) and is released once `out` has copied
+        # the result rows into its own blocks; `out`'s blocks appear after
+        # this snapshot and are the caller's to keep.
+        _ids_internal = _persistent_rdd_ids(spark_cx) - _ids_entry
+        out = out.localCheckpoint(eager=True)
+        _unpersist_rdd_ids(spark_cx, _ids_internal)
+        return out
+    except BaseException:
+        # exception-safe release (ADVICE r6 #3): without this, an
+        # error escaping mid-call (e.g. the knn guard on a
+        # pathological fold chunk) leaks every internal block until
+        # driver GC.  NOTE the id-diff assumes a single-threaded
+        # session: a concurrent thread's persists registered during
+        # this call would be released here too.
+        _unpersist_rdd_ids(spark_cx,
+                           _persistent_rdd_ids(spark_cx) - _ids_entry)
+        raise
 
 
 
