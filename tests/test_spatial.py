@@ -820,3 +820,58 @@ def test_knn_join_releases_internal_blocks(spark):
     delta = _persistent_rdd_ids(spark) - before
     # the result's own checkpoint is the only surviving registration
     assert len(delta) <= 1, delta
+
+
+def test_topk_merge_threshold_skip_bit_identical():
+    """The r7 running-kth threshold skip in _topk_merge (rows whose kth
+    cannot be beaten skip the selection passes) must be bit-identical
+    to a full concatenate+lexsort reference across sequential block
+    merges, including planted exact coordinate ties, and independent
+    of the block split."""
+    import numpy as np
+
+    from pbf2json_spark.functions import geokernels as gk
+    from pbf2json_spark.operators import spatial as sp
+
+    def ref_merge(best_d, best_i, qla, qlo, pla, plo, ids, k):
+        nq = len(qla)
+        dh = gk.haversine_m(qla[:, None], qlo[:, None],
+                            pla[None, :], plo[None, :])
+        cd = np.concatenate([best_d, dh], axis=1)
+        ci = np.concatenate(
+            [best_i, np.broadcast_to(ids, (nq, len(ids)))], axis=1)
+        ckey = np.where(np.isfinite(cd), ci, "~").astype(str)
+        order = np.lexsort((ckey, cd), axis=1)[:, :k]
+        best_d[:] = np.take_along_axis(cd, order, axis=1)
+        best_i[:] = np.take_along_axis(ci, order, axis=1)
+
+    rng = np.random.default_rng(11)
+    nq, k = 300, 5
+    qla = rng.uniform(-60, 60, nq)
+    qlo = rng.uniform(-170, 170, nq)
+    qxyz = sp._unit_xyz(qla, qlo)
+    bd_a = np.full((nq, k), np.inf)
+    bi_a = np.empty((nq, k), dtype=object)
+    bd_b = np.full((nq, k), np.inf)
+    bi_b = np.empty((nq, k), dtype=object)
+    for blk in range(5):
+        m = 3000
+        pla = rng.uniform(-60, 60, m)
+        plo = rng.uniform(-170, 170, m)
+        # exact ties: points at query coords, duplicated points
+        pla[:40] = qla[:40]
+        plo[:40] = qlo[:40]
+        pla[40:80] = pla[:40]
+        plo[40:80] = plo[:40]
+        ids = np.array([f"b{blk}p{i:05d}" for i in range(m)],
+                       dtype=object)
+        pxyz = sp._unit_xyz(pla, plo)
+        # engine path: two sub-blocks (threshold engages on the 2nd)
+        sp._topk_merge(bd_a, bi_a, qla, qlo, qxyz, pla[:1700],
+                       plo[:1700], ids[:1700], pxyz[:1700], k)
+        sp._topk_merge(bd_a, bi_a, qla, qlo, qxyz, pla[1700:],
+                       plo[1700:], ids[1700:], pxyz[1700:], k)
+        ref_merge(bd_b, bi_b, qla, qlo, pla, plo, ids, k)
+        assert np.array_equal(bd_a, bd_b), f"block {blk} dists diverged"
+        assert (bi_a.astype(str) == bi_b.astype(str)).all(), \
+            f"block {blk} ids diverged"
