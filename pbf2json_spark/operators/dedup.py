@@ -255,14 +255,25 @@ def minhash_lsh_pairs(docs: DataFrame, tau: float = 0.5) -> DataFrame:
     # while converting a plan to an RDD just to count partitions cost
     # ~0.5 s of driver time.  A file-backed corpus with >= par files
     # is already wide; non-file-backed frames fall back to the RDD
-    # probe (never blind-repartition a corpus-sized frame).
+    # probe (never blind-repartition a corpus-sized frame).  Below
+    # ~2 MB of text the single-core shingle stage costs less than the
+    # repartition exchange + a cluster-wide wave of Arrow task floors
+    # (measured at the sf0.1 gate: widening ADDED ~0.5 s), so tiny
+    # corpora skip the widening — any real corpus clears 2 MB.
     par = docs.sparkSession.sparkContext.defaultParallelism
     try:
-        n_splits = len(docs.inputFiles()) or docs.rdd.getNumPartitions()
+        est = int(docs._jdf.queryExecution().optimizedPlan()
+                  .stats().sizeInBytes())
     except Exception:
-        n_splits = docs.rdd.getNumPartitions()
-    if n_splits < par:
-        rep_docs = rep_docs.repartition(2 * par)
+        est = None
+    if est is None or est >= (2 << 20):
+        try:
+            n_splits = (len(docs.inputFiles())
+                        or docs.rdd.getNumPartitions())
+        except Exception:
+            n_splits = docs.rdd.getNumPartitions()
+        if n_splits < par:
+            rep_docs = rep_docs.repartition(2 * par)
     base = rep_docs.select(
         "doc_id", _shingle_mh(_tokens()).alias("smh")
     ).select("doc_id", F.col("smh.sh").alias("sh"),
