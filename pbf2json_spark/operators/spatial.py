@@ -1543,6 +1543,21 @@ def knn_join(left: DataFrame, right: DataFrame, k: int,
                 for L in levels])
             cnt_all = cnt_f.select(F.explode(anc).alias("_ck"), "count") \
                 .groupBy("_ck").agg(F.sum("count").alias("_n"))
+            # pin the ring-scatter stage's parallelism (r7): AQE
+            # coalesces the cnt_all exchange by BYTES (~12 MB
+            # partitions), but the downstream stage explodes each row
+            # (2*ring+1)^2-fold into a partial aggregation — at 9.6M
+            # the 34 coalesced tasks each spilled (1.1 GB total) and
+            # the heaviest probe stage ran one ~2-minute wave.  An
+            # explicit cell-keyed repartition (compact 16-byte rows,
+            # one cheap extra exchange) spreads the explode+agg and
+            # shrinks per-task hash tables; sized like the verify
+            # stages — scales with the session's shuffle knob.
+            n_scatter = max(
+                4 * spark_cx.sparkContext.defaultParallelism,
+                int(spark_cx.conf.get("spark.sql.shuffle.partitions",
+                                      "200")))
+            cnt_all = cnt_all.repartition(n_scatter, "_ck")
             # ring scatter off the DECODED key (shifts, no codec): the
             # (2*ring+1)^2 window sum at cell x = sum over cells whose
             # disk holds x — offsets match the round-loop window (ADVICE
